@@ -1,0 +1,364 @@
+"""Structured ILU(0) and pointwise Gauss-Seidel with wavefront scheduling.
+
+TPU-native replacement for PETSc's ``pc_type: ilu`` (``pc_factor_levels: 0``,
+reference ``solvers/parameters.py:27``) and the pointwise nonlinear
+Gauss-Seidel behind ``snes_type: ngs`` (``parameters.py:71-77``; PETSc's
+default NGS is a coloring-based pointwise secant sweep — the reference's
+nested fieldsplit options are inert for it, so the observed Picard iteration
+counts are those of pointwise GS).
+
+Both algorithms are inherently sequential in row order. On a structured
+grid the dependency graph of the natural (lexicographic, field-major)
+ordering admits a *wavefront* schedule: with the level function
+
+    level(field, x, y, z) = x + 2 y + 4 z + field * (max|level step| + 1)
+
+every row depends only on strictly lower levels, so each level is a
+data-parallel batch. Factorization runs once on the host (numpy, vectorized
+per level); triangular solves and GS sweeps run on device as a
+``lax.scan`` over padded level batches.
+
+Matrix storage is structural: every row holds the same static offset list
+(block shift x geometric 3^d stencil offsets); entries that fall outside the
+grid are masked. This matches PETSc's allocated AIJ pattern (which keeps
+explicit zeros at eliminated BC positions), so fill positions agree.
+Iteration counts can still differ by a few percent from the reference
+because Firedrake numbers DoFs via DMPlex, not lexicographically, and
+ILU/GS are ordering-dependent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perphil_tpu.mesh.structured import StructuredMesh
+from perphil_tpu.models.dpp.parameters import DPPParameters
+from perphil_tpu.ops.stencil import compile_stencils
+
+_LAMBDA = (1, 2, 4)  # level weights per coordinate (x, y, z)
+
+
+def _geom_offsets(d: int) -> List[Tuple[int, ...]]:
+    """All 3^d stencil offsets in coordinate order (x, y[, z])."""
+    rng = (-1, 0, 1)
+    if d == 2:
+        return [(dx, dy) for dy in rng for dx in rng]
+    return [(dx, dy, dz) for dz in rng for dy in rng for dx in rng]
+
+
+@dataclass
+class StructuredSystem:
+    """A block-structured sparse matrix with static per-row offset lists.
+
+    :param mesh: the structured mesh (geometry / strides).
+    :param nfields: 1 (single block) or 2 (monolithic DPP).
+    :param vals: (nrows, noffs) float array of entries.
+    :param deltas: global flat column deltas per offset.
+    :param valid: (nrows, noffs) bool mask of structurally-present entries.
+    """
+
+    mesh: StructuredMesh
+    nfields: int
+    vals: np.ndarray
+    deltas: np.ndarray
+    blocks: np.ndarray
+    geoms: np.ndarray
+    valid: np.ndarray
+    levels: List[np.ndarray]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.mesh.num_vertices
+
+    @property
+    def nrows(self) -> int:
+        return self.n_nodes * self.nfields
+
+    @property
+    def center_index(self) -> int:
+        return int(np.where((self.blocks == 0) & (self.geoms == 0).all(axis=1))[0][0])
+
+
+def _build_system(
+    mesh: StructuredMesh,
+    block_stencils,  # dict {(row_field, col_field): stencil ndarray}
+    nfields: int,
+) -> StructuredSystem:
+    d = mesh.dim
+    shape = mesh.node_shape  # slowest-first
+    n = mesh.num_vertices
+    geoms = _geom_offsets(d)
+    blocks = list(range(-(nfields - 1), nfields))  # {-1,0,1} or {0}
+    # strides in coordinate order (x fastest)
+    strides = [1]
+    for ax in range(1, d):
+        strides.append(strides[-1] * shape[d - ax])
+    strides = np.array(strides)  # coordinate-ordered
+
+    pos = np.stack(
+        [g.ravel() for g in np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")][::-1],
+        axis=1,
+    )  # (n, d) coordinate-ordered positions
+    bdry = mesh.boundary_mask().ravel()
+
+    noffs = len(blocks) * len(geoms)
+    nrows = n * nfields
+    vals = np.zeros((nrows, noffs))
+    valid = np.zeros((nrows, noffs), dtype=bool)
+    deltas = np.zeros(noffs, dtype=np.int64)
+    blk_arr = np.zeros(noffs, dtype=np.int64)
+    geom_arr = np.zeros((noffs, d), dtype=np.int64)
+
+    for t, (bd, g) in enumerate(((bd, g) for bd in blocks for g in geoms)):
+        deltas[t] = bd * n + int(np.dot(g, strides))
+        blk_arr[t] = bd
+        geom_arr[t] = g
+        gnp = np.asarray(g)
+        geo_ok = ((pos + gnp) >= 0).all(axis=1) & ((pos + gnp) < pos.max(axis=0) + 1).all(axis=1)
+        col_bdry = np.zeros(n, dtype=bool)
+        col_idx = np.clip(pos + gnp, 0, np.asarray(shape[::-1]) - 1)
+        flat_col = col_idx @ strides
+        col_bdry = bdry[flat_col]
+        for f in range(nfields):
+            cf = f + bd
+            rows = slice(f * n, (f + 1) * n)
+            if cf < 0 or cf >= nfields:
+                continue
+            st = block_stencils.get((f, cf))
+            if st is None:
+                continue
+            # stencil indexed slowest-first: reverse the geometric offset
+            w = float(st[tuple(int(o) + 1 for o in reversed(g))])
+            v = np.where(geo_ok, w, 0.0)
+            # symmetric BC elimination: zero bc rows and bc cols
+            v = np.where(bdry | col_bdry, 0.0, v)
+            if bd == 0 and (gnp == 0).all():
+                v = np.where(bdry, 1.0, v)  # unit diagonal at bc rows
+            vals[rows, t] = v
+            valid[rows, t] = geo_ok
+
+    # wavefront levels
+    lam = np.asarray(_LAMBDA[:d])
+    sched = pos @ lam
+    shift = int(np.abs(np.asarray(geoms) @ lam).max()) + 1
+    levels_key = np.concatenate([sched + f * shift for f in range(nfields)])
+    order = np.argsort(levels_key, kind="stable")
+    keys_sorted = levels_key[order]
+    boundaries = np.flatnonzero(np.diff(keys_sorted)) + 1
+    levels = [lv.astype(np.int64) for lv in np.split(order, boundaries)]
+
+    return StructuredSystem(
+        mesh=mesh,
+        nfields=nfields,
+        vals=vals,
+        deltas=deltas,
+        blocks=blk_arr,
+        geoms=geom_arr,
+        valid=valid,
+        levels=levels,
+    )
+
+
+def build_monolithic_system(mesh: StructuredMesh, params: DPPParameters) -> StructuredSystem:
+    """Field-major 2-field DPP matrix in structured form."""
+    K_st, M_st = compile_stencils(mesh)
+    p = params
+    S1 = (p.k1 / p.mu) * K_st + (p.beta / p.mu) * M_st
+    S2 = (p.k2 / p.mu) * K_st + (p.beta / p.mu) * M_st
+    C = -(p.beta / p.mu) * M_st
+    return _build_system(mesh, {(0, 0): S1, (1, 1): S2, (0, 1): C, (1, 0): C}, 2)
+
+
+def build_field_system(mesh: StructuredMesh, k: float, beta: float, mu: float) -> StructuredSystem:
+    K_st, M_st = compile_stencils(mesh)
+    S = (k / mu) * K_st + (beta / mu) * M_st
+    return _build_system(mesh, {(0, 0): S}, 1)
+
+
+# ---------------------------------------------------------------------------
+# ILU(0) factorization (host, level-vectorized)
+# ---------------------------------------------------------------------------
+
+
+def ilu0_factorize(sys: StructuredSystem) -> np.ndarray:
+    """In-pattern incomplete LU with no fill outside the structural pattern.
+
+    Returns a new (nrows, noffs) array holding L (unit diagonal implied,
+    entries at lower offsets) and U (diagonal + upper offsets), like PETSc's
+    combined factor storage.
+    """
+    vals = sys.vals.copy()
+    deltas = sys.deltas
+    noffs = deltas.shape[0]
+    center = sys.center_index
+    nrows = sys.nrows
+    order_lower = [t for t in np.argsort(deltas) if deltas[t] < 0]
+    # offset-difference map: m[k][j] = index with delta == delta_j - delta_k
+    # (and matching block/geom difference), or -1
+    key = {(int(b), tuple(int(x) for x in g)): t for t, (b, g) in enumerate(zip(sys.blocks, sys.geoms))}
+    mmap = -np.ones((noffs, noffs), dtype=np.int64)
+    for k in range(noffs):
+        for j in range(noffs):
+            db = int(sys.blocks[j] - sys.blocks[k])
+            dg = tuple(int(x) for x in (sys.geoms[j] - sys.geoms[k]))
+            t = key.get((db, dg), -1)
+            if t >= 0:
+                mmap[k, j] = t
+
+    uppers_of = {
+        k: [j for j in range(noffs) if deltas[j] > deltas[k] and mmap[k, j] >= 0]
+        for k in order_lower
+    }
+
+    for R in sys.levels:
+        for k in order_lower:
+            a_ik = vals[R, k]
+            nz = a_ik != 0.0
+            if not nz.any():
+                continue
+            pivot_rows = np.clip(R + deltas[k], 0, nrows - 1)
+            piv = vals[pivot_rows, center]
+            piv_safe = np.where(piv != 0.0, piv, 1.0)
+            f = np.where(nz, a_ik / piv_safe, 0.0)
+            vals[R, k] = f
+            for j in uppers_of[k]:
+                m = mmap[k, j]
+                upd = f * vals[pivot_rows, m]
+                # restrict fill to the structural pattern
+                vals[R, j] = np.where(sys.valid[R, j], vals[R, j] - upd, 0.0)
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# device-side wavefront kernels
+# ---------------------------------------------------------------------------
+
+
+def _padded_levels(sys: StructuredSystem) -> np.ndarray:
+    width = max(len(lv) for lv in sys.levels)
+    out = np.full((len(sys.levels), width), sys.nrows, dtype=np.int32)
+    for i, lv in enumerate(sys.levels):
+        out[i, : len(lv)] = lv
+    return out
+
+
+@dataclass(frozen=True)
+class StructuredILU0:
+    """Compiled ILU(0) preconditioner application: z = U^{-1} L^{-1} r."""
+
+    mesh: StructuredMesh
+    nfields: int
+    factors: jnp.ndarray  # (nrows, noffs)
+    deltas: Tuple[int, ...]
+    center: int
+    levels: jnp.ndarray  # (L, W) padded with nrows
+
+    @classmethod
+    def _from_system(cls, sys: StructuredSystem) -> "StructuredILU0":
+        f = ilu0_factorize(sys)
+        return cls(
+            mesh=sys.mesh,
+            nfields=sys.nfields,
+            factors=jnp.asarray(f),
+            deltas=tuple(int(x) for x in sys.deltas),
+            center=sys.center_index,
+            levels=jnp.asarray(_padded_levels(sys)),
+        )
+
+    @classmethod
+    def for_monolithic(cls, op) -> "StructuredILU0":
+        return cls._from_system(build_monolithic_system(op.mesh, op.params))
+
+    @classmethod
+    def for_field(cls, fop) -> "StructuredILU0":
+        return cls._from_system(build_field_system(fop.mesh, fop.k, fop.beta, fop.mu))
+
+    def _sweep(self, rhs: jnp.ndarray, offs: Sequence[int], z0, reverse: bool, scale_diag: bool):
+        nrows = rhs.shape[0]
+        levels = self.levels[::-1] if reverse else self.levels
+        zext = jnp.concatenate([z0, jnp.zeros(1, dtype=rhs.dtype)])
+        rhs_ext = jnp.concatenate([rhs, jnp.zeros(1, dtype=rhs.dtype)])
+        fac = self.factors
+        diag = fac[:, self.center]
+        diag_ext = jnp.concatenate([diag, jnp.ones(1, dtype=rhs.dtype)])
+
+        def step(z, rows):
+            acc = rhs_ext[rows]
+            for t in offs:
+                cols = jnp.clip(rows + self.deltas[t], 0, nrows)
+                v = jnp.where(rows < nrows, fac[jnp.minimum(rows, nrows - 1), t], 0.0)
+                acc = acc - v * z[cols]
+            if scale_diag:
+                acc = acc / diag_ext[rows]
+            z = z.at[rows].set(jnp.where(rows < nrows, acc, z[rows]))
+            return z, None
+
+        zout, _ = jax.lax.scan(step, zext, levels)
+        return zout[:nrows]
+
+    def apply_flat(self, r: jnp.ndarray) -> jnp.ndarray:
+        """z = U^{-1} (L^{-1} r) with unit-lower L."""
+        lower = tuple(t for t, d in enumerate(self.deltas) if d < 0)
+        upper = tuple(t for t, d in enumerate(self.deltas) if d > 0)
+        y = self._sweep(r, lower, jnp.zeros_like(r), reverse=False, scale_diag=False)
+        z = self._sweep(y, upper, jnp.zeros_like(r), reverse=True, scale_diag=True)
+        return z
+
+    def apply_grid(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Single-field convenience: grid -> grid."""
+        shape = r.shape
+        return self.apply_flat(r.ravel()).reshape(shape)
+
+
+@dataclass(frozen=True)
+class GaussSeidelSweeper:
+    """Forward pointwise Gauss-Seidel sweeps over the monolithic system —
+    the TPU analogue of PETSc's default SNES NGS (pointwise secant GS)."""
+
+    mesh: StructuredMesh
+    nfields: int
+    vals: jnp.ndarray
+    deltas: Tuple[int, ...]
+    center: int
+    levels: jnp.ndarray
+
+    @classmethod
+    def for_monolithic(cls, mesh: StructuredMesh, params: DPPParameters) -> "GaussSeidelSweeper":
+        sys = build_monolithic_system(mesh, params)
+        return cls(
+            mesh=mesh,
+            nfields=2,
+            vals=jnp.asarray(sys.vals),
+            deltas=tuple(int(x) for x in sys.deltas),
+            center=sys.center_index,
+            levels=jnp.asarray(_padded_levels(sys)),
+        )
+
+    def sweep(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """One forward GS sweep: x_i <- (b_i - sum_{j != i} a_ij x_j)/a_ii
+        in lexicographic field-major order (wavefront-scheduled)."""
+        nrows = x.shape[0]
+        xext = jnp.concatenate([x, jnp.zeros(1, dtype=x.dtype)])
+        b_ext = jnp.concatenate([b, jnp.zeros(1, dtype=x.dtype)])
+        vals = self.vals
+        diag = vals[:, self.center]
+        diag_ext = jnp.concatenate([diag, jnp.ones(1, dtype=x.dtype)])
+        offs = tuple(t for t in range(len(self.deltas)) if t != self.center)
+
+        def step(z, rows):
+            acc = b_ext[rows]
+            for t in offs:
+                cols = jnp.clip(rows + self.deltas[t], 0, nrows)
+                v = jnp.where(rows < nrows, vals[jnp.minimum(rows, nrows - 1), t], 0.0)
+                acc = acc - v * z[cols]
+            acc = acc / diag_ext[rows]
+            z = z.at[rows].set(jnp.where(rows < nrows, acc, z[rows]))
+            return z, None
+
+        zout, _ = jax.lax.scan(step, xext, self.levels)
+        return zout[:nrows]

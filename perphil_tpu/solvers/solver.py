@@ -1,0 +1,543 @@
+"""Linear and nonlinear DPP solvers.
+
+Parity with ``/root/reference/src/perphil/solvers/solver.py``:
+  - ``Solution``            (reference ``:14-27``)
+  - ``solve_dpp``           (reference ``:30-76``)
+  - ``solve_dpp_nonlinear`` (reference ``:79-128``)
+
+The reference hands PETSc option dicts to Firedrake's variational solvers;
+here the same dicts configure a JAX-native stack:
+
+  ksp_type=gmres            -> restarted GMRES (``ops/krylov.py``)
+  ksp_type=preonly + pc=lu  -> exact tensor fast-diagonalization direct
+                               solve (``ops/direct.py``); on simplicial
+                               meshes, machine-tolerance PCG with the
+                               lumped-tensor preconditioner (documented
+                               MUMPS substitution)
+  pc_type=fieldsplit        -> explicit 2x2 block Gauss-Seidel
+                               (multiplicative) / block Jacobi (additive)
+  pc_type=ilu               -> structured ILU(0), wavefront-scheduled
+  pc_type=jacobi / none     -> diagonal / identity
+  snes_type=ngs             -> Picard block Gauss-Seidel sweeps
+  snes_type=nrichardson     -> damped preconditioned Richardson
+  snes_type=ksponly         -> one linear solve
+
+Compiled solvers are cached per (space, parameters, options) so repeated
+solves (convergence sweeps, profiling repeats) reuse the XLA executable and
+differ only in boundary-condition data.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perphil_tpu.forms.spaces import Function, MixedFunctionSpace
+from perphil_tpu.mesh.structured import StructuredMesh
+from perphil_tpu.models.dpp.parameters import DPPParameters
+from perphil_tpu.ops.assembly import (
+    DirichletBC,
+    DPPOperator,
+    FieldOperator,
+    bc_values_per_field,
+)
+from perphil_tpu.ops.direct import FastDiagDPPSolver, FastDiagFieldSolver
+from perphil_tpu.ops.krylov import cg, gmres
+from perphil_tpu.ops.stencil import apply_stencil, compile_stencils
+
+logger = logging.getLogger(__name__)
+
+_DIRECT_RTOL = 1e-13  # inner tolerance when "LU" is emulated by PCG
+
+
+@dataclass(frozen=True)
+class Solution:
+    """Result of a solve; parity with reference ``solver.py:14-27``."""
+
+    solution: Union[Function, Tuple[Function, Function]]
+    iteration_number: int
+    residual_error: float
+
+
+# ---------------------------------------------------------------------------
+# solver-option plumbing
+# ---------------------------------------------------------------------------
+
+
+def _flatten_options(sp: Dict, prefix: str = "") -> Dict[str, object]:
+    """Flatten nested option dicts (``{"fieldsplit_0": {...}}``) into
+    PETSc-style prefixed keys (``fieldsplit_0_ksp_type``), which the
+    reference also uses interchangeably (``iterative_bench.py:134-154``)."""
+    out: Dict[str, object] = {}
+    for k, v in (sp or {}).items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_options(v, prefix=f"{key}_"))
+        else:
+            out[key] = v
+    return out
+
+
+def _freeze(sp: Dict) -> Tuple:
+    flat = _flatten_options(sp)
+    return tuple(sorted((k, v) for k, v in flat.items() if v is not None or True))
+
+
+def _sub_options(flat: Dict[str, object], prefix: str) -> Dict[str, object]:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in flat.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# block solvers and preconditioners (grid-shaped, single field)
+# ---------------------------------------------------------------------------
+
+
+def _exact_field_solver(fop: FieldOperator) -> Callable:
+    """Exact 'LU-class' solve of one BC-eliminated block."""
+    mesh = fop.mesh
+    if mesh.is_tensor_product:
+        fd = FastDiagFieldSolver(mesh, fop.k, fop.beta, fop.mu)
+        return fd.solve
+    # simplicial: PCG with the lumped-tensor fast-diag preconditioner,
+    # converged to machine tolerance (plays the exact-LU role).
+    pc = FastDiagFieldSolver(mesh, fop.k, fop.beta, fop.mu, lumped=True)
+
+    def solve(b):
+        x, _, _ = cg(
+            fop.matvec, b, rtol=_DIRECT_RTOL, atol=0.0, max_it=1000, M_inv=pc.solve
+        )
+        return x
+
+    return solve
+
+
+def _field_pc(fop: FieldOperator, pc_type: str, flat: Dict) -> Optional[Callable]:
+    if pc_type in ("none", None):
+        return None
+    if pc_type == "jacobi":
+        center = (1,) * fop.mesh.dim
+        dc = float(np.asarray(fop.stencil)[center])
+        bdry = jnp.asarray(fop.mesh.boundary_mask())
+        dinv = jnp.where(bdry, 1.0, 1.0 / dc)
+        return lambda r: dinv * r
+    if pc_type in ("lu", "cholesky"):
+        return _exact_field_solver(fop)
+    if pc_type == "ilu":
+        from perphil_tpu.ops.ilu import StructuredILU0
+
+        ilu = StructuredILU0.for_field(fop)
+        return ilu.apply_grid
+    raise ValueError(f"Unsupported block pc_type: {pc_type!r}")
+
+
+def _block_solver(fop: FieldOperator, sub: Dict[str, object]) -> Callable:
+    """Build a grid->grid solver for one fieldsplit block from its
+    sub-options (reference nests full KSP configs per block,
+    ``parameters.py:30-57``)."""
+    ksp = str(sub.get("ksp_type", "preonly"))
+    pc_type = str(sub.get("pc_type", "ilu"))
+    if ksp == "preonly":
+        if pc_type in ("lu", "cholesky"):
+            return _exact_field_solver(fop)
+        pc = _field_pc(fop, pc_type, sub)
+        return pc if pc is not None else (lambda r: r)
+    if ksp in ("gmres", "cg"):
+        rtol = float(sub.get("ksp_rtol", 1e-5))
+        atol = float(sub.get("ksp_atol", 1e-50))
+        max_it = int(sub.get("ksp_max_it", 10000))
+        restart = int(sub.get("ksp_gmres_restart", 30))
+        pc = _field_pc(fop, pc_type, sub)
+        shape = fop.mesh.node_shape
+
+        def mv(xf):
+            return fop.matvec(xf.reshape(shape)).ravel()
+
+        pcf = None if pc is None else (lambda r: pc(r.reshape(shape)).ravel())
+
+        if ksp == "gmres":
+
+            def solve(b):
+                res = gmres(
+                    mv, b.ravel(), rtol=rtol, atol=atol, max_it=max_it,
+                    restart=restart, M_inv=pcf,
+                )
+                return res.x.reshape(shape)
+
+        else:
+
+            def solve(b):
+                x, _, _ = cg(mv, b.ravel(), rtol=rtol, atol=atol, max_it=max_it, M_inv=pcf)
+                return x.reshape(shape)
+
+        return solve
+    raise ValueError(f"Unsupported block ksp_type: {ksp!r}")
+
+
+def _coupling_apply(mesh: StructuredMesh, params: DPPParameters) -> Callable:
+    """The off-diagonal block ``C = -(beta/mu) M`` with BC rows/cols zeroed."""
+    _, M_st = compile_stencils(mesh)
+    bdry = jnp.asarray(mesh.boundary_mask())
+    coef = -(params.beta / params.mu)
+
+    def C(z):
+        zi = jnp.where(bdry, 0.0, z)
+        return jnp.where(bdry, 0.0, coef * apply_stencil(zi, M_st))
+
+    return C
+
+
+def _monolithic_pc(
+    op: DPPOperator, flat: Dict[str, object]
+) -> Optional[Callable]:
+    """Left preconditioner (flat vector -> flat vector) for the monolithic
+    system, from PETSc-style options."""
+    pc_type = str(flat.get("pc_type", "none"))
+    mesh = op.mesh
+    shape = mesh.node_shape
+    n = int(np.prod(shape))
+
+    if pc_type == "none":
+        return None
+    if pc_type == "jacobi":
+        dinv = 1.0 / op.diagonal()
+        return lambda r: dinv * r
+    if pc_type in ("lu", "cholesky"):
+        direct = _monolithic_direct(op)
+
+        def apply_lu(r):
+            z1, z2 = direct(r[:n].reshape(shape), r[n:].reshape(shape))
+            return jnp.concatenate([z1.ravel(), z2.ravel()])
+
+        return apply_lu
+    if pc_type == "ilu":
+        from perphil_tpu.ops.ilu import StructuredILU0
+
+        ilu = StructuredILU0.for_monolithic(op)
+        return ilu.apply_flat
+    if pc_type == "fieldsplit":
+        fs_type = str(flat.get("pc_fieldsplit_type", "multiplicative"))
+        p = op.params
+        f0 = FieldOperator(op.W.sub(0), p.k1, p.beta, p.mu)
+        f1 = FieldOperator(op.W.sub(1), p.k2, p.beta, p.mu)
+        B0 = _block_solver(f0, _sub_options(flat, "fieldsplit_0_"))
+        B1 = _block_solver(f1, _sub_options(flat, "fieldsplit_1_"))
+        C = _coupling_apply(mesh, p)
+
+        if fs_type == "multiplicative":
+
+            def apply_fs(r):
+                r1 = r[:n].reshape(shape)
+                r2 = r[n:].reshape(shape)
+                y1 = B0(r1)
+                y2 = B1(r2 - C(y1))
+                return jnp.concatenate([y1.ravel(), y2.ravel()])
+
+        elif fs_type == "additive":
+
+            def apply_fs(r):
+                y1 = B0(r[:n].reshape(shape))
+                y2 = B1(r[n:].reshape(shape))
+                return jnp.concatenate([y1.ravel(), y2.ravel()])
+
+        else:
+            raise ValueError(f"Unsupported pc_fieldsplit_type: {fs_type!r}")
+
+        return apply_fs
+    raise ValueError(f"Unsupported pc_type: {pc_type!r}")
+
+
+def _monolithic_direct(op: DPPOperator) -> Callable:
+    """Exact direct solve of the monolithic system (grids -> grids)."""
+    mesh = op.mesh
+    if mesh.is_tensor_product:
+        return FastDiagDPPSolver(mesh, op.params).solve
+    # simplicial: machine-tolerance PCG (monolithic matrix is SPD) with a
+    # block-diagonal lumped fast-diag preconditioner.
+    p = op.params
+    pc1 = FastDiagFieldSolver(mesh, p.k1, p.beta, p.mu, lumped=True)
+    pc2 = FastDiagFieldSolver(mesh, p.k2, p.beta, p.mu, lumped=True)
+    shape = mesh.node_shape
+    n = int(np.prod(shape))
+    mv = op.flat_matvec()
+
+    def pc(r):
+        return jnp.concatenate(
+            [pc1.solve(r[:n].reshape(shape)).ravel(), pc2.solve(r[n:].reshape(shape)).ravel()]
+        )
+
+    def solve(b1, b2):
+        b = jnp.concatenate([b1.ravel(), b2.ravel()])
+        x, _, _ = cg(mv, b, rtol=_DIRECT_RTOL, atol=0.0, max_it=2000, M_inv=pc)
+        return x[:n].reshape(shape), x[n:].reshape(shape)
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# compiled linear solver cache
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def _build_linear_solver(
+    W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
+) -> Callable:
+    """Compile a linear solve ``(g1, g2) -> (z1, z2, its, rnorm)`` for
+    boundary-value grids g1, g2."""
+    flat = dict(frozen_sp)
+    op = DPPOperator(W, params)
+    mesh = W.mesh
+    shape = mesh.node_shape
+    n = int(np.prod(shape))
+    ksp = str(flat.get("ksp_type", "gmres"))
+
+    if ksp == "preonly":
+        pc_type = str(flat.get("pc_type", "lu"))
+        if pc_type in ("lu", "cholesky"):
+            direct = _monolithic_direct(op)
+
+            def solve_preonly(g1, g2):
+                b1, b2 = op.lifted_rhs(g1, g2)
+                z1, z2 = direct(b1, b2)
+                # preonly reports 1 iteration and residual 0.0 (PETSc
+                # semantics; see reference convergence.csv MUMPS rows)
+                return z1, z2, jnp.asarray(1), jnp.asarray(0.0, dtype=b1.dtype)
+
+            return jax.jit(solve_preonly)
+        pc = _monolithic_pc(op, flat)
+
+        def solve_pc_once(g1, g2):
+            b1, b2 = op.lifted_rhs(g1, g2)
+            b = jnp.concatenate([b1.ravel(), b2.ravel()])
+            z = pc(b) if pc is not None else b
+            return (
+                z[:n].reshape(shape),
+                z[n:].reshape(shape),
+                jnp.asarray(1),
+                jnp.asarray(0.0, dtype=b.dtype),
+            )
+
+        return jax.jit(solve_pc_once)
+
+    if ksp not in ("gmres", "cg"):
+        raise ValueError(f"Unsupported ksp_type: {ksp!r}")
+
+    rtol = float(flat.get("ksp_rtol", 1e-5))
+    atol = float(flat.get("ksp_atol", 1e-50))
+    max_it = int(flat.get("ksp_max_it", 10000))
+    restart = int(flat.get("ksp_gmres_restart", 30))
+    pc = _monolithic_pc(op, flat)
+    mv = op.flat_matvec()
+
+    bdry = jnp.asarray(mesh.boundary_mask())
+
+    def solve_krylov(g1, g2):
+        # Firedrake's LinearVariationalSolver is SNES ksponly: the KSP sees
+        # the Newton-step system A d = b - A x0 with x0 the BC lift, so the
+        # convergence denominator is the interior-scale ||r0||, not ||b||.
+        # Reproducing this is required for iteration-count parity.
+        b1, b2 = op.lifted_rhs(g1, g2)
+        x01 = jnp.where(bdry, g1, 0.0)
+        x02 = jnp.where(bdry, g2, 0.0)
+        r1, r2 = op.residual(x01, x02, b1, b2)
+        r = jnp.concatenate([r1.ravel(), r2.ravel()])
+        if ksp == "gmres":
+            res = gmres(
+                mv, r, rtol=rtol, atol=atol, max_it=max_it, restart=restart, M_inv=pc
+            )
+            d, its, rnorm = res.x, res.iterations, res.residual_norm
+        else:
+            d, its, rnorm = cg(mv, r, rtol=rtol, atol=atol, max_it=max_it, M_inv=pc)
+        z1 = x01 + d[:n].reshape(shape)
+        z2 = x02 + d[n:].reshape(shape)
+        return z1, z2, its, rnorm
+
+    return jax.jit(solve_krylov)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _validate_mixed(W) -> None:
+    if not hasattr(W, "num_sub_spaces") or W.num_sub_spaces() != 2:
+        raise ValueError(f"Expected a 2-field MixedFunctionSpace, got {type(W)}")
+
+
+def solve_dpp(
+    W: MixedFunctionSpace,
+    model_params: DPPParameters,
+    bcs: Sequence[DirichletBC],
+    solver_parameters: Dict = {},
+    options_prefix: str = "dpp",
+) -> Solution:
+    """Solve the monolithic/preconditioned DPP linear system; parity with
+    reference ``solver.py:30-76`` (returns ``Solution`` with the KSP
+    iteration count and residual norm)."""
+    _validate_mixed(W)
+    g1, g2 = bc_values_per_field(W, bcs)
+    solver = _build_linear_solver(W, model_params, _freeze(solver_parameters))
+    z1, z2, its, rnorm = solver(g1, g2)
+    sol = Function(W, (z1, z2))
+    return Solution(sol, int(its), float(rnorm))
+
+
+def solve_dpp_nonlinear(
+    W: MixedFunctionSpace,
+    model_params: DPPParameters,
+    bcs: Sequence[DirichletBC],
+    solver_parameters: Dict = {},
+    options_prefix: str = "dpp_nonlinear",
+) -> Solution:
+    """Solve via Picard-style nonlinear iteration; parity with reference
+    ``solver.py:79-128`` (SNES ``nrichardson``/``ngs`` dispatch, iteration
+    count from the SNES, residual = final function norm)."""
+    _validate_mixed(W)
+    g1, g2 = bc_values_per_field(W, bcs)
+    flat = _flatten_options(solver_parameters)
+    snes = str(flat.get("snes_type", "ngs"))
+    if snes == "ksponly":
+        ksp_opts = {k: v for k, v in flat.items() if not k.startswith("snes_")}
+        solver = _build_linear_solver(W, model_params, _freeze(ksp_opts))
+        z1, z2, its, rnorm = solver(g1, g2)
+        return Solution(Function(W, (z1, z2)), int(its), float(rnorm))
+    solver = _build_nonlinear_solver(W, model_params, _freeze(solver_parameters))
+    z1, z2, its, fnorm = solver(g1, g2)
+    return Solution(Function(W, (z1, z2)), int(its), float(fnorm))
+
+
+@lru_cache(maxsize=64)
+def _build_nonlinear_solver(
+    W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
+) -> Callable:
+    flat = dict(frozen_sp)
+    snes = str(flat.get("snes_type", "ngs"))
+    rtol = float(flat.get("snes_rtol", 1e-8))
+    atol = float(flat.get("snes_atol", 1e-50))
+    max_it = int(flat.get("snes_max_it", 50))
+    op = DPPOperator(W, params)
+    mesh = W.mesh
+    p = params
+    C = _coupling_apply(mesh, p)
+    f0 = FieldOperator(W.sub(0), p.k1, p.beta, p.mu)
+    f1 = FieldOperator(W.sub(1), p.k2, p.beta, p.mu)
+
+    def fnorm_of(z1, z2, b1, b2):
+        r1, r2 = op.residual(z1, z2, b1, b2)
+        return jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2)).real
+
+    if snes == "ngs":
+        # PETSc's SNES "ngs" default is a coloring-based *pointwise* secant
+        # Gauss-Seidel; the nested fieldsplit options in the reference's
+        # Picard presets are inert for it (parameters.py:71-95). We
+        # reproduce that algorithm (forward pointwise GS sweeps in natural
+        # ordering) so the reference's Picard iteration counts
+        # (16/63/194/635/1673/5135 for N=4..128) are matched to within the
+        # DoF-ordering difference.
+        from perphil_tpu.ops.ilu import GaussSeidelSweeper
+
+        sweeper = GaussSeidelSweeper.for_monolithic(mesh, params)
+        mv = op.flat_matvec()
+        shape = mesh.node_shape
+        n = int(np.prod(shape))
+
+        def solve_pointwise_ngs(g1, g2):
+            b1, b2 = op.lifted_rhs(g1, g2)
+            b = jnp.concatenate([b1.ravel(), b2.ravel()])
+            bdry = jnp.asarray(mesh.boundary_mask())
+            x = jnp.concatenate(
+                [jnp.where(bdry, g1, 0.0).ravel(), jnp.where(bdry, g2, 0.0).ravel()]
+            )
+            f0n = jnp.linalg.norm(b - mv(x))
+            tol = jnp.maximum(rtol * f0n, atol)
+
+            def cond(state):
+                x, its, fn = state
+                return (fn > tol) & (its < max_it)
+
+            def body(state):
+                x, its, fn = state
+                x = sweeper.sweep(x, b)
+                return x, its + 1, jnp.linalg.norm(b - mv(x))
+
+            x, its, fn = jax.lax.while_loop(cond, body, (x, jnp.asarray(0), f0n))
+            return x[:n].reshape(shape), x[n:].reshape(shape), its, fn
+
+        return jax.jit(solve_pointwise_ngs)
+
+    if snes == "block_gs":
+        # Picard block Gauss-Seidel: exact alternating field solves — the
+        # fixed-stress-style splitting the delayed form encodes
+        # (reference dpp.py:135-205). This is what the reference's Picard
+        # presets *intend*; it converges in O(1) iterations vs pointwise GS.
+        B0 = _block_solver(f0, _sub_options(flat, "fieldsplit_0_"))
+        B1 = _block_solver(f1, _sub_options(flat, "fieldsplit_1_"))
+
+        def solve_ngs(g1, g2):
+            b1, b2 = op.lifted_rhs(g1, g2)
+            bdry = jnp.asarray(mesh.boundary_mask())
+            z1 = jnp.where(bdry, g1, 0.0)
+            z2 = jnp.where(bdry, g2, 0.0)
+            f0n = fnorm_of(z1, z2, b1, b2)
+            tol = jnp.maximum(rtol * f0n, atol)
+
+            def cond(state):
+                z1, z2, its, fn = state
+                return (fn > tol) & (its < max_it)
+
+            def body(state):
+                z1, z2, its, fn = state
+                z1 = B0(b1 - C(z2))
+                z2 = B1(b2 - C(z1))
+                return z1, z2, its + 1, fnorm_of(z1, z2, b1, b2)
+
+            z1, z2, its, fn = jax.lax.while_loop(
+                cond, body, (z1, z2, jnp.asarray(0), f0n)
+            )
+            return z1, z2, its, fn
+
+        return jax.jit(solve_ngs)
+
+    if snes == "nrichardson":
+        damping = float(flat.get("snes_linesearch_damping", 1.0))
+        pc = _monolithic_pc(op, flat)
+        shape = mesh.node_shape
+        n = int(np.prod(shape))
+
+        def solve_rich(g1, g2):
+            b1, b2 = op.lifted_rhs(g1, g2)
+            bdry = jnp.asarray(mesh.boundary_mask())
+            z1 = jnp.where(bdry, g1, 0.0)
+            z2 = jnp.where(bdry, g2, 0.0)
+            f0n = fnorm_of(z1, z2, b1, b2)
+            tol = jnp.maximum(rtol * f0n, atol)
+
+            def cond(state):
+                z1, z2, its, fn = state
+                return (fn > tol) & (its < max_it)
+
+            def body(state):
+                z1, z2, its, fn = state
+                r1, r2 = op.residual(z1, z2, b1, b2)
+                r = jnp.concatenate([r1.ravel(), r2.ravel()])
+                d = pc(r) if pc is not None else r
+                z1 = z1 + damping * d[:n].reshape(shape)
+                z2 = z2 + damping * d[n:].reshape(shape)
+                return z1, z2, its + 1, fnorm_of(z1, z2, b1, b2)
+
+            z1, z2, its, fn = jax.lax.while_loop(
+                cond, body, (z1, z2, jnp.asarray(0), f0n)
+            )
+            return z1, z2, its, fn
+
+        return jax.jit(solve_rich)
+
+    raise ValueError(f"Unsupported snes_type: {snes!r}")

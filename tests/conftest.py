@@ -1,0 +1,22 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh regardless of the host's
+accelerator: JAX executes the same XLA programs on CPU with native float64,
+giving every test a real backend (the TPU analogue of the reference's
+"skip-if-no-Firedrake" strategy — see reference ``src/conftest.py:1-12`` and
+SURVEY §4 — except nothing needs to skip). Sharding tests use the 8 CPU
+devices as a stand-in ICI mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_enable_x64", True)

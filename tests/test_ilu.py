@@ -1,0 +1,102 @@
+"""Structured ILU(0) tests: the wavefront factorization must match a
+straightforward sequential reference ILU(0) on the same pattern."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from perphil_tpu.forms import create_function_spaces, mixed_space
+from perphil_tpu.mesh import create_mesh
+from perphil_tpu.models.dpp import DPPParameters
+from perphil_tpu.ops.assembly import DPPOperator, FieldOperator, materialize_monolithic_csr
+from perphil_tpu.ops.ilu import (
+    GaussSeidelSweeper,
+    StructuredILU0,
+    build_monolithic_system,
+    ilu0_factorize,
+)
+
+
+def _system_to_dense(sysm, vals=None):
+    v = sysm.vals if vals is None else vals
+    n = sysm.nrows
+    A = np.zeros((n, n))
+    for t, d in enumerate(sysm.deltas):
+        for r in range(n):
+            c = r + d
+            if 0 <= c < n and sysm.valid[r, t]:
+                A[r, c] = v[r, t]
+    return A
+
+
+def _sequential_ilu0(A_dense, pattern):
+    """Textbook IKJ ILU(0) restricted to the given boolean pattern."""
+    n = A_dense.shape[0]
+    F = A_dense.copy()
+    for i in range(n):
+        for k in range(i):
+            if not pattern[i, k] or F[i, k] == 0.0:
+                continue
+            F[i, k] /= F[k, k]
+            for j in range(k + 1, n):
+                if pattern[i, j]:
+                    F[i, j] -= F[i, k] * F[k, j]
+    return F
+
+
+def test_ilu0_matches_sequential_reference():
+    mesh = create_mesh(3, 3)
+    params = DPPParameters()
+    sysm = build_monolithic_system(mesh, params)
+    A = _system_to_dense(sysm)
+    pattern = np.zeros_like(A, dtype=bool)
+    n = sysm.nrows
+    for t, d in enumerate(sysm.deltas):
+        for r in range(n):
+            c = r + d
+            if 0 <= c < n and sysm.valid[r, t]:
+                pattern[r, c] = True
+    F_ref = _sequential_ilu0(A, pattern)
+    F = ilu0_factorize(sysm)
+    F_dense = _system_to_dense(sysm, vals=F)
+    assert np.abs(F_dense - F_ref).max() < 1e-12
+
+
+def test_ilu_apply_is_lu_solve():
+    mesh = create_mesh(4, 4)
+    params = DPPParameters()
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    op = DPPOperator(W, params)
+    ilu = StructuredILU0.for_monolithic(op)
+    sysm = build_monolithic_system(mesh, params)
+    F = ilu0_factorize(sysm)
+    Fd = _system_to_dense(sysm, vals=F)
+    L = np.tril(Fd, -1) + np.eye(sysm.nrows)
+    U = np.triu(Fd)
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(sysm.nrows)
+    z = np.asarray(ilu.apply_flat(jnp.asarray(r)))
+    z_ref = np.linalg.solve(U, np.linalg.solve(L, r))
+    assert np.abs(z - z_ref).max() < 1e-11
+
+
+def test_gs_sweep_matches_dense():
+    mesh = create_mesh(3, 3)
+    params = DPPParameters()
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    A, n0, _ = materialize_monolithic_csr(W, params)
+    A = A.toarray()
+    sweeper = GaussSeidelSweeper.for_monolithic(mesh, params)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(2 * n0)
+    x0 = rng.standard_normal(2 * n0)
+    x1 = np.asarray(sweeper.sweep(jnp.asarray(x0), jnp.asarray(b)))
+    # reference forward GS: x = (D+L)^{-1} (b - U x0)
+    import scipy.linalg as sla
+
+    Lo = np.tril(A)
+    Uo = A - Lo
+    x_ref = sla.solve_triangular(Lo, b - Uo @ x0, lower=True)
+    assert np.abs(x1 - x_ref).max() < 1e-11
