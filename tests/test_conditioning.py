@@ -1,0 +1,74 @@
+"""Conditioning tests (mirrors reference
+``solvers/_tests/test_conditioning.py:8-56``) plus golden-number parity with
+the reference conditioning CSVs."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from perphil_tpu.forms import create_function_spaces, dpp_form, mixed_space
+from perphil_tpu.mesh import create_cube_mesh, create_mesh
+from perphil_tpu.models.dpp import DPPParameters
+from perphil_tpu.solvers.conditioning import (
+    MatrixData,
+    calculate_condition_number,
+    get_matrix_data_from_form,
+)
+from perphil_tpu.experiments.iterative_bench import estimate_condition_numbers
+
+
+def test_dense_vs_sparse_on_handbuilt_spd():
+    # mirrors reference test_conditioning.py:8-14: 2x2 SPD CSR
+    A = sp.csr_matrix(np.array([[4.0, 1.0], [1.0, 3.0]]))
+    dense = calculate_condition_number(A, num_singular_values=None, use_sparse=False)
+    ev = np.linalg.eigvalsh(A.toarray())
+    assert abs(dense - ev[-1] / ev[0]) < 1e-12
+
+
+def test_matrix_data_structure():
+    mesh = create_mesh(2, 2)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    a, _ = dpp_form(W, DPPParameters())
+    md = get_matrix_data_from_form(a, [])
+    assert isinstance(md, MatrixData)
+    assert md.number_of_dofs == W.dim()
+    assert md.is_symmetric
+    assert md.number_of_nonzero_entries > 0
+    assert md.sparse_csr_data.shape == (18, 18)
+
+
+# reference: results-conforming-2d/conditioning/conditioning.csv
+_COND_2D = {
+    4: (81.91800877610804, 3.357638888888892, 24.368707087045706),
+    8: (223.31832152613455, 12.227926665771225, 56.14918002821589),
+    16: (893.0186669800956, 49.24488971944212, 216.4484381208243),
+}
+
+
+@pytest.mark.regression
+@pytest.mark.parametrize("N", [4, 8, 16])
+@pytest.mark.parametrize("use_sparse", [False, True], ids=["dense-svd", "lanczos"])
+def test_condition_numbers_match_reference_2d(N, use_sparse):
+    mesh = create_mesh(N, N)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    conds = estimate_condition_numbers(
+        W, num_of_factors=50 if use_sparse else None, use_sparse=use_sparse
+    )
+    rm, rma, rmi = _COND_2D[N]
+    assert abs(conds["monolithic"] - rm) / rm < 1e-8
+    assert abs(conds["macro"] - rma) / rma < 1e-8
+    assert abs(conds["micro"] - rmi) / rmi < 1e-8
+
+
+@pytest.mark.regression
+def test_condition_numbers_match_reference_3d_hex():
+    # reference: results-conforming-3d/conditioning/conditioning_3d.csv N=4
+    mesh = create_cube_mesh(4, 4, 4, hexahedral=True)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    conds = estimate_condition_numbers(W, num_of_factors=None, use_sparse=False)
+    assert abs(conds["monolithic"] - 166.58) / 166.58 < 1e-3
+    assert abs(conds["macro"] - 2.708) / 2.708 < 1e-3
+    assert abs(conds["micro"] - 166.48) / 166.48 < 1e-3
