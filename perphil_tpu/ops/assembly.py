@@ -98,8 +98,10 @@ def bc_values_per_field(
 
 
 def _masks(mesh: StructuredMesh):
+    # kept as numpy: these are cached on operator instances that outlive any
+    # single jit trace — jnp constants created inside a trace would leak
     bdry = mesh.boundary_mask()
-    return jnp.asarray(bdry), jnp.asarray(~bdry)
+    return bdry, ~bdry
 
 
 @dataclass(frozen=True)
@@ -185,6 +187,17 @@ class DPPOperator:
             z2 = x[n:].reshape(shape)
             y1, y2 = self.matvec(z1, z2)
             return jnp.concatenate([y1.ravel(), y2.ravel()])
+
+        return mv
+
+    def stacked_matvec(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """Operator on stacked fields (2, *node_shape) — the sharding-
+        friendly layout (grid axes survive, so device meshes partition the
+        stencil with automatic halo exchange)."""
+
+        def mv(x: jnp.ndarray) -> jnp.ndarray:
+            y1, y2 = self.matvec(x[0], x[1])
+            return jnp.stack([y1, y2])
 
         return mv
 

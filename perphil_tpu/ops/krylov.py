@@ -65,12 +65,26 @@ def gmres(
     """
     P = M_inv or _identity
     dtype = b.dtype
-    n = b.shape[0]
     m = int(restart)
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
+    # Shape-general: b may be a flat vector or a stacked grid (e.g.
+    # (2, nz, ny, nx) for two sharded pressure fields) — the Krylov basis
+    # keeps the operand's shape so device shardings propagate untouched.
+    nd = b.ndim
+    op_axes = (tuple(range(1, nd + 1)), tuple(range(nd)))
+
+    def basis_dot(V, w):  # (m+1, *shape) x (*shape) -> (m+1,)
+        return jnp.tensordot(V, w, axes=op_axes)
+
+    def basis_comb(h, V):  # (m+1,) x (m+1, *shape) -> (*shape)
+        return jnp.tensordot(h, V, axes=((0,), (0,)))
+
+    def vnorm(v):
+        return jnp.sqrt(jnp.vdot(v, v)).real
+
     r0 = P(b - A(x0))
-    rnorm0 = jnp.linalg.norm(r0)
+    rnorm0 = vnorm(r0)
     tol = jnp.maximum(rtol * rnorm0, atol)
     div = dtol * rnorm0
 
@@ -79,9 +93,9 @@ def gmres(
         w = P(A(V[j]))
         # classical Gram-Schmidt: unused rows of V are zero, so the full
         # products are exact projections onto the current basis.
-        h = V @ w
-        w = w - V.T @ h
-        hj1 = jnp.linalg.norm(w)
+        h = basis_dot(V, w)
+        w = w - basis_comb(h, V)
+        hj1 = vnorm(w)
         V = V.at[j + 1].set(w / jnp.where(hj1 > 0.0, hj1, 1.0))
         # apply stored Givens rotations to column h (entries 0..j)
         def rot(i, hv):
@@ -113,8 +127,8 @@ def gmres(
     def cycle(state):
         x, its, rnorm, done = state
         r = P(b - A(x))
-        beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n), dtype=dtype)
+        beta = vnorm(r)
+        V = jnp.zeros((m + 1,) + b.shape, dtype=dtype)
         V = V.at[0].set(r / jnp.where(beta > 0.0, beta, 1.0))
         R = jnp.zeros((m, m), dtype=dtype)
         g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
@@ -138,7 +152,7 @@ def gmres(
         Rm = jnp.where((col[None, :] >= j) & (col[:, None] != col[None, :]), 0.0, Rm)
         gm = jnp.where(col < j, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
-        x = x + V[:m].T @ y
+        x = x + basis_comb(y, V[:m])
         done = (rnorm <= tol) | (its >= max_it) | (rnorm > div)
         return x, its, rnorm, done
 

@@ -1,0 +1,116 @@
+"""Multi-device sharding of DPP solves over a JAX device mesh.
+
+The reference scales by MPI domain decomposition through Firedrake/DMPlex
+and PETSc's distributed Mat/Vec (SURVEY §2.2): partitioned meshes, halo
+exchange per SpMV, allreduce per Krylov dot product. The TPU-native
+equivalent is declarative SPMD:
+
+  - a ``jax.sharding.Mesh`` over the device grid (ICI on real pods),
+  - fields laid out as stacked grids ``(2, nz, ny, nx)`` sharded along
+    grid axes with ``NamedSharding``,
+  - the *same* compiled solver functions as single-chip: XLA's SPMD
+    partitioner turns the stencil's shifted slices into halo exchanges
+    (collective-permutes over ICI) and Krylov dot products into psums.
+
+There is no separate "distributed solver": placement of the boundary-value
+inputs decides the partitioning, which is what makes this design idiomatic
+for XLA (compare: PETSc needs a parallel matrix type, MPI communicators and
+ghost updates threaded through every object).
+
+Axis convention: mesh axes are named after grid axes, outermost first —
+("z", "y") in 3D, ("y",) or ("y", "x") in 2D. The field-stacking axis and
+the innermost (x, lane) axis stay replicated/unsharded.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from perphil_tpu.forms.spaces import Function, MixedFunctionSpace
+from perphil_tpu.mesh.structured import StructuredMesh
+
+
+def device_mesh(
+    axis_sizes: Sequence[int],
+    axis_names: Optional[Sequence[str]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a device mesh, e.g. ``device_mesh([4, 2])`` -> axes ("z","y").
+
+    On a real pod slice the device order follows ICI topology
+    (``jax.devices()`` default); on CPU the virtual devices stand in.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = int(np.prod(axis_sizes))
+    if n > len(devices):
+        raise ValueError(f"Need {n} devices, have {len(devices)}")
+    if axis_names is None:
+        d = len(axis_sizes)
+        # outermost grid axes first: a 2-axis device mesh partitions (z, y)
+        # of a 3D grid / (y, x) of a 2D grid — pass names explicitly for 2D
+        axis_names = ("z", "y", "x")[:d] if d <= 3 else tuple(f"d{i}" for i in range(d))
+    dev_array = np.array(devices[:n]).reshape(tuple(axis_sizes))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def field_spec(dmesh: Mesh, grid_ndim: int, stacked: bool = True) -> P:
+    """PartitionSpec for a (stacked) field grid: mesh axes map onto the
+    outermost grid axes; the stacking axis and remaining inner axes are
+    replicated. E.g. 3D grid on a ("z","y") mesh ->
+    P(None, "z", "y", None) for (2, nz, ny, nx) arrays."""
+    names = list(dmesh.axis_names)
+    spec = names[:grid_ndim] + [None] * (grid_ndim - len(names))
+    if stacked:
+        return P(None, *spec)
+    return P(*spec)
+
+
+def _check_divisible(shape: Tuple[int, ...], dmesh: Mesh, offset: int) -> None:
+    sizes = dict(zip(dmesh.axis_names, dmesh.devices.shape))
+    for ax, name in enumerate(dmesh.axis_names):
+        dim = offset + ax
+        if dim < len(shape) and shape[dim] % sizes[name] != 0:
+            raise ValueError(
+                f"Grid axis {dim} (size {shape[dim]}) is not divisible by "
+                f"device-mesh axis {name!r} (size {sizes[name]}). Choose N "
+                f"with (N+1) divisible by the mesh axis (e.g. N=15, 31, 63) "
+                f"— GSPMD silently replicates uneven shardings."
+            )
+
+
+def shard_stacked(x, dmesh: Mesh):
+    """Place a stacked field array (2, *grid) on the device mesh."""
+    _check_divisible(x.shape, dmesh, 1)
+    return jax.device_put(x, NamedSharding(dmesh, field_spec(dmesh, x.ndim - 1)))
+
+
+def shard_grid(x, dmesh: Mesh):
+    """Place a bare field grid on the device mesh."""
+    _check_divisible(x.shape, dmesh, 0)
+    return jax.device_put(x, NamedSharding(dmesh, field_spec(dmesh, x.ndim, stacked=False)))
+
+
+def sharded_solve_dpp(
+    W: MixedFunctionSpace,
+    model_params,
+    bcs,
+    dmesh: Mesh,
+    solver_parameters: dict = {},
+):
+    """``solve_dpp`` with boundary data placed on a device mesh: the cached
+    compiled solver partitions across devices via XLA SPMD (halo exchange +
+    psum inserted automatically). Results match single-device bit-for-bit
+    up to reduction reordering."""
+    from perphil_tpu.ops.assembly import bc_values_per_field
+    from perphil_tpu.solvers.solver import Solution, _build_linear_solver, _freeze
+
+    g1, g2 = bc_values_per_field(W, bcs)
+    g1 = shard_grid(g1, dmesh)
+    g2 = shard_grid(g2, dmesh)
+    solver = _build_linear_solver(W, model_params, _freeze(solver_parameters))
+    z1, z2, its, rnorm = solver(g1, g2)
+    return Solution(Function(W, (z1, z2)), int(its), float(rnorm))

@@ -154,27 +154,23 @@ def _block_solver(fop: FieldOperator, sub: Dict[str, object]) -> Callable:
         max_it = int(sub.get("ksp_max_it", 10000))
         restart = int(sub.get("ksp_gmres_restart", 30))
         pc = _field_pc(fop, pc_type, sub)
-        shape = fop.mesh.node_shape
-
-        def mv(xf):
-            return fop.matvec(xf.reshape(shape)).ravel()
-
-        pcf = None if pc is None else (lambda r: pc(r.reshape(shape)).ravel())
 
         if ksp == "gmres":
 
             def solve(b):
+                # gmres is shape-general: operate on the grid directly so
+                # device shardings propagate through nested block solves
                 res = gmres(
-                    mv, b.ravel(), rtol=rtol, atol=atol, max_it=max_it,
-                    restart=restart, M_inv=pcf,
+                    fop.matvec, b, rtol=rtol, atol=atol, max_it=max_it,
+                    restart=restart, M_inv=pc,
                 )
-                return res.x.reshape(shape)
+                return res.x
 
         else:
 
             def solve(b):
-                x, _, _ = cg(mv, b.ravel(), rtol=rtol, atol=atol, max_it=max_it, M_inv=pcf)
-                return x.reshape(shape)
+                x, _, _ = cg(fop.matvec, b, rtol=rtol, atol=atol, max_it=max_it, M_inv=pc)
+                return x
 
         return solve
     raise ValueError(f"Unsupported block ksp_type: {ksp!r}")
@@ -196,31 +192,35 @@ def _coupling_apply(mesh: StructuredMesh, params: DPPParameters) -> Callable:
 def _monolithic_pc(
     op: DPPOperator, flat: Dict[str, object]
 ) -> Optional[Callable]:
-    """Left preconditioner (flat vector -> flat vector) for the monolithic
-    system, from PETSc-style options."""
+    """Left preconditioner on stacked fields (2, *node_shape) -> same,
+    from PETSc-style options. The stacked layout keeps grid axes intact so
+    device-mesh shardings flow through every PC except ILU (which is
+    sequential by nature and reshapes to the flat row order internally)."""
     pc_type = str(flat.get("pc_type", "none"))
     mesh = op.mesh
-    shape = mesh.node_shape
-    n = int(np.prod(shape))
 
     if pc_type == "none":
         return None
     if pc_type == "jacobi":
-        dinv = 1.0 / op.diagonal()
+        dinv = (1.0 / op.diagonal()).reshape((2,) + mesh.node_shape)
         return lambda r: dinv * r
     if pc_type in ("lu", "cholesky"):
         direct = _monolithic_direct(op)
 
         def apply_lu(r):
-            z1, z2 = direct(r[:n].reshape(shape), r[n:].reshape(shape))
-            return jnp.concatenate([z1.ravel(), z2.ravel()])
+            z1, z2 = direct(r[0], r[1])
+            return jnp.stack([z1, z2])
 
         return apply_lu
     if pc_type == "ilu":
         from perphil_tpu.ops.ilu import StructuredILU0
 
         ilu = StructuredILU0.for_monolithic(op)
-        return ilu.apply_flat
+
+        def apply_ilu(r):
+            return ilu.apply_flat(r.reshape(-1)).reshape(r.shape)
+
+        return apply_ilu
     if pc_type == "fieldsplit":
         fs_type = str(flat.get("pc_fieldsplit_type", "multiplicative"))
         p = op.params
@@ -233,18 +233,16 @@ def _monolithic_pc(
         if fs_type == "multiplicative":
 
             def apply_fs(r):
-                r1 = r[:n].reshape(shape)
-                r2 = r[n:].reshape(shape)
-                y1 = B0(r1)
-                y2 = B1(r2 - C(y1))
-                return jnp.concatenate([y1.ravel(), y2.ravel()])
+                y1 = B0(r[0])
+                y2 = B1(r[1] - C(y1))
+                return jnp.stack([y1, y2])
 
         elif fs_type == "additive":
 
             def apply_fs(r):
-                y1 = B0(r[:n].reshape(shape))
-                y2 = B1(r[n:].reshape(shape))
-                return jnp.concatenate([y1.ravel(), y2.ravel()])
+                y1 = B0(r[0])
+                y2 = B1(r[1])
+                return jnp.stack([y1, y2])
 
         else:
             raise ValueError(f"Unsupported pc_fieldsplit_type: {fs_type!r}")
@@ -315,14 +313,9 @@ def _build_linear_solver(
 
         def solve_pc_once(g1, g2):
             b1, b2 = op.lifted_rhs(g1, g2)
-            b = jnp.concatenate([b1.ravel(), b2.ravel()])
+            b = jnp.stack([b1, b2])
             z = pc(b) if pc is not None else b
-            return (
-                z[:n].reshape(shape),
-                z[n:].reshape(shape),
-                jnp.asarray(1),
-                jnp.asarray(0.0, dtype=b.dtype),
-            )
+            return z[0], z[1], jnp.asarray(1), jnp.asarray(0.0, dtype=b.dtype)
 
         return jax.jit(solve_pc_once)
 
@@ -334,7 +327,7 @@ def _build_linear_solver(
     max_it = int(flat.get("ksp_max_it", 10000))
     restart = int(flat.get("ksp_gmres_restart", 30))
     pc = _monolithic_pc(op, flat)
-    mv = op.flat_matvec()
+    mv = op.stacked_matvec()
 
     bdry = jnp.asarray(mesh.boundary_mask())
 
@@ -347,7 +340,7 @@ def _build_linear_solver(
         x01 = jnp.where(bdry, g1, 0.0)
         x02 = jnp.where(bdry, g2, 0.0)
         r1, r2 = op.residual(x01, x02, b1, b2)
-        r = jnp.concatenate([r1.ravel(), r2.ravel()])
+        r = jnp.stack([r1, r2])
         if ksp == "gmres":
             res = gmres(
                 mv, r, rtol=rtol, atol=atol, max_it=max_it, restart=restart, M_inv=pc
@@ -355,9 +348,7 @@ def _build_linear_solver(
             d, its, rnorm = res.x, res.iterations, res.residual_norm
         else:
             d, its, rnorm = cg(mv, r, rtol=rtol, atol=atol, max_it=max_it, M_inv=pc)
-        z1 = x01 + d[:n].reshape(shape)
-        z2 = x02 + d[n:].reshape(shape)
-        return z1, z2, its, rnorm
+        return x01 + d[0], x02 + d[1], its, rnorm
 
     return jax.jit(solve_krylov)
 
@@ -527,10 +518,10 @@ def _build_nonlinear_solver(
             def body(state):
                 z1, z2, its, fn = state
                 r1, r2 = op.residual(z1, z2, b1, b2)
-                r = jnp.concatenate([r1.ravel(), r2.ravel()])
+                r = jnp.stack([r1, r2])
                 d = pc(r) if pc is not None else r
-                z1 = z1 + damping * d[:n].reshape(shape)
-                z2 = z2 + damping * d[n:].reshape(shape)
+                z1 = z1 + damping * d[0]
+                z2 = z2 + damping * d[1]
                 return z1, z2, its + 1, fnorm_of(z1, z2, b1, b2)
 
             z1, z2, its, fn = jax.lax.while_loop(

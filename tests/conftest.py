@@ -10,7 +10,7 @@ devices as a stand-in ICI mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+# Force CPU even on hosts whose sitecustomize registers an accelerator
+# backend and overrides jax_platforms at interpreter start (the "axon"
+# TPU tunnel does: axon/register/pjrt.py updates jax_platforms="axon,cpu").
+# Tests validate numerics and sharding on the virtual 8-device CPU mesh;
+# bench.py and __graft_entry__.entry() exercise the real device.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

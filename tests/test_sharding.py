@@ -1,0 +1,94 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(the capability the reference never tests — SURVEY §4 calls for
+device-count-gated sharding tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perphil_tpu.forms import create_function_spaces, mixed_space
+from perphil_tpu.mesh import create_cube_mesh, create_mesh
+from perphil_tpu.models.dpp import DPPParameters
+from perphil_tpu.ops.assembly import DirichletBC, DPPOperator
+from perphil_tpu.parallel.sharding import (
+    device_mesh,
+    field_spec,
+    shard_grid,
+    shard_stacked,
+    sharded_solve_dpp,
+)
+from perphil_tpu.solvers import parameters as sp
+from perphil_tpu.solvers import solve_dpp
+from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+needs_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@needs_8
+def test_device_mesh_axes():
+    dm = device_mesh([4, 2])
+    assert dm.axis_names == ("z", "y")
+    assert dm.devices.shape == (4, 2)
+    assert str(field_spec(dm, 3)) == str(jax.sharding.PartitionSpec(None, "z", "y", None))
+
+
+@needs_8
+def test_sharded_matvec_matches_single_device():
+    mesh = create_mesh(15, 15)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    op = DPPOperator(W, DPPParameters())
+    mv = jax.jit(op.stacked_matvec())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2,) + mesh.node_shape))
+    y_single = mv(x)
+    dm = device_mesh([4], axis_names=("y",))
+    xs = shard_stacked(x, dm)
+    y_sharded = mv(xs)
+    assert np.allclose(np.asarray(y_sharded), np.asarray(y_single), atol=1e-14)
+
+
+@needs_8
+@pytest.mark.parametrize(
+    "params_dict",
+    [sp.PLAIN_GMRES_PARAMS, {**sp.GMRES_PARAMS, **sp.FIELDSPLIT_LU_PARAMS}],
+    ids=["plain-gmres", "fieldsplit-lu"],
+)
+def test_sharded_solve_matches_single_device_2d(params_dict):
+    mesh = create_mesh(15, 15)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    params = DPPParameters()
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    ref = solve_dpp(W, params, bcs, solver_parameters=params_dict)
+    dm = device_mesh([4, 2], axis_names=("y", "x"))
+    sol = sharded_solve_dpp(W, params, bcs, dm, solver_parameters=params_dict)
+    assert sol.iteration_number == ref.iteration_number
+    # Krylov solutions agree to the solver tolerance (cross-device psum
+    # reduction order perturbs roundoff at the GMRES rtol level)
+    for a, b in zip(sol.solution.data, ref.solution.data):
+        scale = np.abs(np.asarray(b)).max()
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-6
+
+
+@needs_8
+def test_sharded_3d_direct_solve():
+    mesh = create_cube_mesh(7, 7, 7, hexahedral=True)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    params = DPPParameters()
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+
+    _, p1e, _, p2e = exact_expressions_3d(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    ref = solve_dpp(W, params, bcs, solver_parameters=sp.LINEAR_SOLVER_PARAMS)
+    dm = device_mesh([4, 2])  # ("z", "y")
+    sol = sharded_solve_dpp(W, params, bcs, dm, solver_parameters=sp.LINEAR_SOLVER_PARAMS)
+    for a, b in zip(sol.solution.data, ref.solution.data):
+        scale = np.abs(np.asarray(b)).max()
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-10
