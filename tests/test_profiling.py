@@ -1,0 +1,95 @@
+"""Profiling harness tests (mirrors reference
+``experiments/_tests/test_petsc_profiling.py:17-58`` including the schema
+regression with volatile fields pruned)."""
+
+import pytest
+
+from perphil_tpu.experiments.iterative_bench import Approach
+from perphil_tpu.experiments.profiling import (
+    DEFAULT_LOGICAL_EVENTS,
+    EVENT_ALIASES,
+    PerfResult,
+    run_perf_once,
+    run_perf_sweep,
+    save_perf_csv,
+    save_perf_json,
+)
+from perphil_tpu.experiments.profiling_3d import run_perf_once_3d
+
+
+def test_event_aliases_cover_defaults():
+    for e in DEFAULT_LOGICAL_EVENTS:
+        assert EVENT_ALIASES[e] == e
+
+
+def test_run_perf_once_smoke():
+    res = run_perf_once(4, 4, Approach.PLAIN_GMRES, repeats=2)
+    assert res.dofs == 50 and res.num_cells == 16
+    assert res.iterations is not None and res.iterations >= 1
+    assert res.time_total > 0.0
+    assert res.times["KSPSolve"] > 0.0
+    assert res.memory and res.memory["rss_peak_kb"] > 0
+
+
+# volatile fields pruned before schema comparison, like the reference's
+# pytest-regressions test (test_petsc_profiling.py:37-58)
+_VOLATILE = {"residual", "metadata"}
+_VOLATILE_PREFIXES = ("time_", "flops_", "mflops_", "mem_", "iterations")
+
+_EXPECTED_STABLE = {
+    "approach": "GMRES",
+    "nx": 4,
+    "ny": 4,
+    "dofs": 50,
+    "num_cells": 16,
+}
+
+
+@pytest.mark.regression
+def test_perf_to_dict_schema_regression():
+    res = run_perf_once(4, 4, Approach.PLAIN_GMRES, repeats=1, backend="events")
+    row = res.to_dict()
+    stable = {
+        k: v
+        for k, v in row.items()
+        if k not in _VOLATILE and not k.startswith(_VOLATILE_PREFIXES)
+    }
+    assert stable == _EXPECTED_STABLE
+    # flattened columns present for every default logical event
+    for e in DEFAULT_LOGICAL_EVENTS:
+        assert f"time_{e}" in row
+        assert f"flops_{e}" in row
+        assert f"mflops_{e}" in row
+    assert "flops_total" in row
+    assert "mem_rss_peak_kb" in row and "mem_rss_delta_kb" in row
+    assert row["metadata"]["backend"] == "events"
+
+
+def test_sweep_and_save(tmp_path):
+    rows = run_perf_sweep(
+        [4], approaches=[Approach.MONOLITHIC_MUMPS, Approach.SS_GMRES], repeats=1
+    )
+    assert len(rows) == 2
+    save_perf_csv(rows, tmp_path / "perf.csv")
+    save_perf_json(rows, tmp_path / "perf.json")
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "perf.csv")
+    assert set(df["approach"]) == {
+        "Monolithic LU with MUMPS",
+        "Scale-Splitting GMRES",
+    }
+
+
+def test_run_perf_once_3d_smoke():
+    res = run_perf_once_3d(3, Approach.SS_GMRES, repeats=1)
+    assert res.metadata["dim"] == 3
+    assert res.metadata["element"] == "tet"
+    assert res.num_cells == 3**3 * 6
+    assert res.iterations >= 1
+
+
+def test_run_perf_once_3d_hex():
+    res = run_perf_once_3d(3, Approach.MONOLITHIC_MUMPS, repeats=1, hexahedral=True)
+    assert res.metadata["element"] == "hex"
+    assert res.iterations == 1
