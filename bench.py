@@ -3,17 +3,23 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 What is measured: the full monolithic solve pipeline — boundary-condition
-lift (stencil RHS assembly) + exact direct solve of the coupled two-pressure
-DPP system (fast diagonalization; the MUMPS role) — at 64^3 hexes
-(274,625 nodes x 2 fields = 549,250 DoF), float64, steady state (compile
-excluded, median of repeats), verified against the 3D manufactured solution.
+lift (stencil RHS assembly) + direct solve of the coupled two-pressure DPP
+system to float64-level accuracy — at 64^3 hexes (274,625 nodes x 2 fields =
+549,250 DoF). The solver is the production mixed-precision path: f32 MXU
+fast-diagonalization with double-float iterative refinement (ops/mixed.py),
+residual-verified below 1e-11 relative in true float64 after timing.
 
-vs_baseline: the reference's CPU/PETSc direct solve measured on its LARGEST
-published 3D problem — MUMPS at nx=40 tets, 137,842 DoF, time_total 18.56 s
+Timing protocol: the pipeline runs K times *inside one jitted lax.scan*
+with data-dependent chaining (no call can be elided) and a single scalar
+host readback at the end; reported value = total/K. This is robust against
+async-dispatch mirages (block_until_ready alone acks early through the
+axon TPU relay).
+
+vs_baseline: the reference's CPU/PETSc direct solve on its LARGEST published
+3D problem — MUMPS at nx=40 tets, 137,842 DoF, time_total 18.56 s
 (notebooks/results-conforming-3d/petsc_profiling/petsc_perf_breakdown_3d.csv)
-— divided by our time on this 4x-larger problem. A conservative speedup:
-CPU MUMPS at 549k DoF would be far slower than 18.56 s (3D LU fill-in is
-superlinear), and iterations/accuracy are exact here (direct-to-roundoff).
+— divided by our time on this 4x-larger problem. Conservative: CPU MUMPS at
+549k DoF would be far slower (3D LU fill-in is superlinear).
 """
 
 from __future__ import annotations
@@ -24,17 +30,20 @@ import time
 import numpy as np
 
 BASELINE_MUMPS_3D_NX40_SECONDS = 18.56  # largest published 3D direct solve
+K_TIMED = 20
 
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from perphil_tpu.forms import create_function_spaces, mixed_space
     from perphil_tpu.forms.spaces import _evaluate
     from perphil_tpu.mesh import create_cube_mesh
     from perphil_tpu.models.dpp import DPPParameters
     from perphil_tpu.ops.assembly import DPPOperator
-    from perphil_tpu.ops.direct import FastDiagDPPSolver
+    from perphil_tpu.ops.df32 import df_from_f64, df_to_f64
+    from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
     from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
 
     N = 64
@@ -43,45 +52,56 @@ def main() -> None:
     W = mixed_space(V)
     params = DPPParameters()
     op = DPPOperator(W, params)
-    direct = FastDiagDPPSolver(mesh, params)
-
-    @jax.jit
-    def assemble_and_solve(g1, g2):
-        b1, b2 = op.lifted_rhs(g1, g2)
-        return direct.solve(b1, b2)
+    solver = MixedPrecisionDPPDirect(mesh, params)
 
     _, p1e, _, p2e = exact_expressions_3d(mesh, params)
-    g1 = _evaluate(p1e, mesh, ())
-    g2 = _evaluate(p2e, mesh, ())
+    g1 = df_from_f64(_evaluate(p1e, mesh, ()))
+    g2 = df_from_f64(_evaluate(p2e, mesh, ()))
 
-    # warmup/compile
-    z1, z2 = assemble_and_solve(g1, g2)
-    jax.block_until_ready((z1, z2))
+    @jax.jit
+    def pipeline(g1, g2):
+        return solver.assemble_and_solve_df(g1, g2)
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = assemble_and_solve(g1, g2)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
+    @jax.jit
+    def timed_chain(g1, g2):
+        # K dependent pipeline executions: each next run perturbs the
+        # boundary data by a negligible function of the previous solution,
+        # so nothing can be cached or elided.
+        def body(carry, _):
+            c1, c2 = carry
+            z1, z2 = solver.assemble_and_solve_df(c1, c2)
+            eps = jnp.float32(1e-30) * z1[0]
+            c1 = (c1[0] + eps, c1[1])
+            return (c1, c2), None
+        (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=K_TIMED)
+        return jnp.sum(c1[0])
 
-    # correctness guard: the discrete solution must satisfy the BC-eliminated
-    # system to near roundoff (direct solve) — fail loudly if not
-    b1, b2 = op.lifted_rhs(g1, g2)
-    r1, r2 = op.residual(z1, z2, b1, b2)
-    import jax.numpy as jnp
+    # warmup / compile
+    z1, z2 = pipeline(g1, g2)
+    float(timed_chain(g1, g2))
+
+    t0 = time.perf_counter()
+    s = float(timed_chain(g1, g2))  # host readback = true completion
+    t = (time.perf_counter() - t0) / K_TIMED
+    assert np.isfinite(s)
+
+    # correctness guard in true float64, outside the timed region
+    z1_64, z2_64 = df_to_f64(z1), df_to_f64(z2)
+    g1_64, g2_64 = df_to_f64(g1), df_to_f64(g2)
+    b1, b2 = op.lifted_rhs(g1_64, g2_64)
+    r1, r2 = op.residual(z1_64, z2_64, b1, b2)
+    import jax.numpy as jnp2
 
     rel = float(
-        jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2)).real
-        / jnp.sqrt(jnp.vdot(b1, b1) + jnp.vdot(b2, b2)).real
+        jnp2.sqrt(jnp2.vdot(r1, r1) + jnp2.vdot(r2, r2)).real
+        / jnp2.sqrt(jnp2.vdot(b1, b1) + jnp2.vdot(b2, b2)).real
     )
-    assert rel < 1e-9, f"direct solve residual too large: {rel}"
+    assert rel < 1e-10, f"direct solve residual too large: {rel}"
 
     print(
         json.dumps(
             {
-                "metric": "3d_dpp_assemble_plus_direct_solve_64cube_hex_f64",
+                "metric": "3d_dpp_assemble_plus_direct_solve_64cube_hex",
                 "value": t,
                 "unit": "s",
                 "vs_baseline": BASELINE_MUMPS_3D_NX40_SECONDS / t,

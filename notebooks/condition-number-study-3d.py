@@ -1,0 +1,67 @@
+# %% [markdown]
+# # Condition-number study (3D, hexahedral) — monolithic and block-wise
+#
+# TPU-native reproduction of
+# `/root/reference/notebooks/condition-number-study-3d.py`: hex unit-cube
+# meshes N = 4..16, condition numbers of the monolithic matrix and blocks,
+# slopes vs h, written to
+# `results-conforming-3d/conditioning/conditioning_3d.csv` (+`_slopes.csv`)
+# with the reference's schema (incl. n_dofs, n0, n1 columns).
+#
+# Expected (reference): kappa = 166.58 / 513.69 / 3306.00 at N = 4/8/16;
+# slopes -2.13 / -2.84 / -2.11.
+
+# %%
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from perphil_tpu.experiments.iterative_bench import estimate_condition_numbers
+from perphil_tpu.forms import create_function_spaces, mixed_space
+from perphil_tpu.mesh import create_cube_mesh
+
+OUT = Path(__file__).parent / "results-conforming-3d" / "conditioning"
+OUT.mkdir(parents=True, exist_ok=True)
+
+NS = [4, 8, 12, 16]
+if os.environ.get("PERPHIL_FAST"):
+    NS = [4, 8]
+
+# %%
+rows = []
+for N in NS:
+    mesh = create_cube_mesh(N, N, N, hexahedral=True)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    use_sparse = N >= 8  # dense SVD below (9826^2 dense SVD at N=16 is slow)
+    conds = estimate_condition_numbers(
+        W, num_of_factors=50 if use_sparse else None, use_sparse=use_sparse
+    )
+    n0 = W.sub(0).dim()
+    rows.append(
+        {
+            "N": N,
+            "h": 1.0 / N,
+            "cond_monolithic": conds["monolithic"],
+            "cond_macro": conds["macro"],
+            "cond_micro": conds["micro"],
+            "n_dofs": W.dim(),
+            "n0": n0,
+            "n1": n0,
+        }
+    )
+    print(rows[-1])
+
+df = pd.DataFrame(rows)
+df.to_csv(OUT / "conditioning_3d.csv", index=False)
+print("wrote", OUT / "conditioning_3d.csv")
+
+# %%
+slopes = {
+    key: float(np.polyfit(np.log(df.h), np.log(df[f"cond_{key}"]), 1)[0])
+    for key in ("monolithic", "macro", "micro")
+}
+pd.DataFrame([slopes]).to_csv(OUT / "conditioning_3d_slopes.csv", index=False)
+print("slopes:", slopes)

@@ -1,0 +1,60 @@
+# %% [markdown]
+# # Solver time benchmarks (3D) — unit-cube meshes
+#
+# TPU-native reproduction of
+# `/root/reference/notebooks/petsc-profiling-time-benchmarks-3d.py`:
+# profile the solver approaches on tetrahedral unit-cube meshes
+# nx = 4..40 (repeats=3), write
+# `results-conforming-3d/petsc_profiling/petsc_perf_breakdown_3d.csv`.
+#
+# Reference headline (CPU/PETSc, nx=40, 137,842 DoF): MUMPS 18.56 s,
+# GMRES+ILU 0.743 s (33 its), SS-GMRES+ILU 1.366 s (4 its),
+# plain GMRES 18.10 s (3652 its).
+
+# %%
+import os
+from pathlib import Path
+
+import pandas as pd
+
+from perphil_tpu.experiments.iterative_bench import Approach
+from perphil_tpu.experiments.profiling_3d import run_perf_sweep_3d, save_perf_csv
+
+OUT = Path(__file__).parent / "results-conforming-3d" / "petsc_profiling"
+OUT.mkdir(parents=True, exist_ok=True)
+
+SIZES = [4, 8, 16, 24, 32, 40]
+if os.environ.get("PERPHIL_FAST"):
+    SIZES = [4, 8]
+
+APPROACHES = [
+    Approach.PLAIN_GMRES,
+    Approach.GMRES_ILU,
+    Approach.SS_GMRES,
+    Approach.SS_GMRES_ILU,
+    Approach.MONOLITHIC_MUMPS,
+]
+
+# %%
+rows = run_perf_sweep_3d(SIZES, approaches=APPROACHES, repeats=3, backend="events")
+save_perf_csv(rows, OUT / "petsc_perf_breakdown_3d.csv")
+df = pd.DataFrame(rows)
+print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index=False))
+
+# %%
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+fig, ax = plt.subplots(figsize=(6, 4.5))
+for ap in APPROACHES:
+    sel = df[df.approach == ap.value].sort_values("nx")
+    ax.loglog(sel.dofs, sel.time_total, "o-", label=ap.value)
+ax.set_xlabel("DoFs")
+ax.set_ylabel("time_total [s]")
+ax.grid(True, which="both", alpha=0.3)
+ax.legend(fontsize=7)
+fig.tight_layout()
+fig.savefig(OUT / "time_benchmarks_3d.png", dpi=150)
+print("wrote", OUT / "time_benchmarks_3d.png")

@@ -1,0 +1,77 @@
+# %% [markdown]
+# # Solver time benchmarks (2D) — event breakdown, KSP composition, memory
+#
+# TPU-native reproduction of
+# `/root/reference/notebooks/petsc-profiling-time-benchmarks.py`: profile the
+# five solver approaches over meshes 4 -> 256 (repeats=5, events backend),
+# write `results-conforming-2d/petsc_profiling/petsc_perf_breakdown.csv`
+# (reference schema), and render the stacked time-breakdown / memory plots.
+#
+# Reference headline (CPU/PETSc, N=256, 132,098 DoF): MUMPS 0.551 s,
+# SS-GMRES 0.672 s, GMRES+ILU 0.796 s, plain GMRES 146.9 s.
+
+# %%
+import os
+from pathlib import Path
+
+import pandas as pd
+
+from perphil_tpu.experiments.iterative_bench import Approach
+from perphil_tpu.experiments.profiling import run_perf_sweep, save_perf_csv
+
+OUT = Path(__file__).parent / "results-conforming-2d" / "petsc_profiling"
+OUT.mkdir(parents=True, exist_ok=True)
+
+SIZES = [4, 8, 16, 32, 64, 128, 256]
+if os.environ.get("PERPHIL_FAST"):
+    SIZES = [4, 8, 16]
+
+APPROACHES = [
+    Approach.PLAIN_GMRES,
+    Approach.GMRES_ILU,
+    Approach.SS_GMRES,
+    Approach.SS_GMRES_ILU,
+    Approach.MONOLITHIC_MUMPS,
+]
+
+# %%
+rows = run_perf_sweep(SIZES, approaches=APPROACHES, repeats=5, backend="events")
+save_perf_csv(rows, OUT / "petsc_perf_breakdown.csv")
+df = pd.DataFrame(rows)
+print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index=False))
+
+# %% [markdown]
+# ## Picard variant (separate CSV, like the reference's
+# `petsc_perf_breakdown-with-picard.csv`)
+
+# %%
+PICARD_SIZES = [s for s in SIZES if s <= 128]
+rows_p = run_perf_sweep(PICARD_SIZES, approaches=[Approach.PICARD_MUMPS], repeats=1,
+                        backend="events")
+save_perf_csv(rows + rows_p, OUT / "petsc_perf_breakdown-with-picard.csv")
+
+# %% [markdown]
+# ## Stacked time breakdown & memory plots
+
+# %%
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+events = ["KSPSolve", "PCApply", "MatMult", "PCSetUp"]
+fig, axs = plt.subplots(1, 2, figsize=(12, 4.5))
+for ap in APPROACHES:
+    sel = df[df.approach == ap.value].sort_values("nx")
+    axs[0].loglog(sel.dofs, sel.time_total, "o-", label=ap.value)
+    axs[1].semilogx(sel.dofs, sel.mem_rss_peak_kb / 1024, "o-", label=ap.value)
+axs[0].set_xlabel("DoFs")
+axs[0].set_ylabel("time_total [s]")
+axs[0].grid(True, which="both", alpha=0.3)
+axs[0].legend(fontsize=7)
+axs[1].set_xlabel("DoFs")
+axs[1].set_ylabel("peak RSS [MB]")
+axs[1].grid(True, which="both", alpha=0.3)
+fig.tight_layout()
+fig.savefig(OUT / "time_benchmarks.png", dpi=150)
+print("wrote", OUT / "time_benchmarks.png")

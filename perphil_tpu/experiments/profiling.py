@@ -190,7 +190,13 @@ class PerfResult:
 
 
 def _block(x):
+    """Wait for device completion. ``block_until_ready`` alone is not enough
+    on relayed backends (the axon TPU tunnel acks before execution
+    finishes); a one-element host readback forces true completion."""
     jax.block_until_ready(x)
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        np.asarray(jax.device_get(leaves[0].ravel()[0:1]))
     return x
 
 

@@ -66,14 +66,21 @@ def _transform(f: jnp.ndarray, mats, transpose: bool) -> jnp.ndarray:
 
     ``mats`` are coordinate-ordered (x first); grid axes are reversed
     (slowest first), so axis ``a`` of the grid uses ``mats[d-1-a]``.
+
+    ``precision=HIGHEST`` matters in float32: TPU matmuls otherwise default
+    to bf16 multiplications, which would stall mixed-precision refinement.
     """
+    import jax
+
     d = f.ndim
     out = f
     for ax in range(d):
         S = mats[d - 1 - ax]
         Sj = jnp.asarray(S.T if transpose else S, dtype=f.dtype)
         out = jnp.moveaxis(
-            jnp.tensordot(Sj, out, axes=([1], [ax])), 0, ax
+            jnp.tensordot(Sj, out, axes=([1], [ax]), precision=jax.lax.Precision.HIGHEST),
+            0,
+            ax,
         )
     return out
 

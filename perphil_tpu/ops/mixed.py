@@ -1,0 +1,133 @@
+"""Mixed-precision direct solver: f32 fast-diagonalization + double-float
+iterative refinement.
+
+TPU float64 is software-emulated (30-100x slower than f32). This solver
+reaches float64-level accuracy at float32 speed:
+
+  1. the tensor fast-diagonalization solve runs in float32 on the MXU
+     (``precision=HIGHEST`` so the transforms are true-f32, not bf16);
+  2. residuals are computed in double-float (two-f32) arithmetic
+     (``ops/df32.py``, ~49-bit mantissa) — native-speed VPU ops;
+  3. iterative refinement contracts the error by ~kappa(A) * eps_f32 per
+     step (~3e-3 at 128^3), so a handful of steps reach ~1e-12 relative.
+
+This is the production "MUMPS role" solver for large meshes; select it with
+``pc_factor_mat_solver_type: "fastdiag_mixed"`` in the standard preset
+dictionaries (the reference's key for choosing the factorization backend,
+``/root/reference/src/perphil/solvers/parameters.py:8``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from perphil_tpu.mesh.structured import StructuredMesh
+from perphil_tpu.models.dpp.parameters import DPPParameters
+from perphil_tpu.ops.df32 import (
+    DF,
+    df_add,
+    df_apply_stencil,
+    df_from_f64,
+    df_sub,
+)
+from perphil_tpu.ops.direct import FastDiagDPPSolver
+from perphil_tpu.ops.stencil import compile_stencils
+
+
+def _mask_df(x: DF, keep, fallback: DF) -> DF:
+    return (
+        jnp.where(keep, x[0], fallback[0]),
+        jnp.where(keep, x[1], fallback[1]),
+    )
+
+
+@dataclass(frozen=True)
+class MixedPrecisionDPPDirect:
+    """Refined f32 direct solve of the BC-eliminated monolithic DPP system.
+
+    ``solve`` takes/returns float64 grids (drop-in for
+    ``FastDiagDPPSolver.solve``); all hot work is float32/double-float.
+    """
+
+    mesh: StructuredMesh
+    params: DPPParameters
+    refinements: int = 5
+
+    @cached_property
+    def _fast32(self) -> FastDiagDPPSolver:
+        return FastDiagDPPSolver(self.mesh, self.params)
+
+    @cached_property
+    def _stencils(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        K_st, M_st = compile_stencils(self.mesh)
+        p = self.params
+        return (
+            (p.k1 / p.mu) * K_st,
+            (p.k2 / p.mu) * K_st,
+            (p.beta / p.mu) * M_st,
+        )
+
+    def _df_matvec(self, z1: DF, z2: DF, bdry) -> Tuple[DF, DF]:
+        """Double-float BC-eliminated monolithic matvec (mirrors
+        ``DPPOperator.matvec``)."""
+        S1, S2, C = self._stencils
+        zero = (jnp.zeros_like(z1[0]), jnp.zeros_like(z1[1]))
+        z1i = _mask_df(z1, ~bdry, zero)
+        z2i = _mask_df(z2, ~bdry, zero)
+        d = df_sub(z1i, z2i)
+        y1 = df_add(df_apply_stencil(z1i, S1), df_apply_stencil(d, C))
+        y2 = df_sub(df_apply_stencil(z2i, S2), df_apply_stencil(d, C))
+        return _mask_df(y1, ~bdry, z1), _mask_df(y2, ~bdry, z2)
+
+    def lifted_rhs_df(self, g1: DF, g2: DF) -> Tuple[DF, DF]:
+        """Double-float RHS assembly with BC lifting (mirrors
+        ``DPPOperator.lifted_rhs``): interior rows get ``-A[int,bd] g``,
+        boundary rows pass ``g`` through."""
+        S1, S2, C = self._stencils
+        bdry = self.mesh.boundary_mask()
+        zero = (jnp.zeros_like(g1[0]), jnp.zeros_like(g1[1]))
+        g1b = _mask_df(g1, bdry, zero)
+        g2b = _mask_df(g2, bdry, zero)
+        d = df_sub(g1b, g2b)
+        a1 = df_add(df_apply_stencil(g1b, S1), df_apply_stencil(d, C))
+        a2 = df_sub(df_apply_stencil(g2b, S2), df_apply_stencil(d, C))
+        b1 = _mask_df((-a1[0], -a1[1]), ~bdry, g1)
+        b2 = _mask_df((-a2[0], -a2[1]), ~bdry, g2)
+        return b1, b2
+
+    def solve_df(self, b1_df: DF, b2_df: DF) -> Tuple[DF, DF]:
+        """Refined solve in pure double-float (no f64 ops on the hot path)."""
+        bdry = self.mesh.boundary_mask()
+        x1, x2 = self._fast32.solve(b1_df[0], b2_df[0])
+        z1: DF = (x1, jnp.zeros_like(x1))
+        z2: DF = (x2, jnp.zeros_like(x2))
+        for _ in range(self.refinements):
+            y1, y2 = self._df_matvec(z1, z2, bdry)
+            r1 = df_sub(b1_df, y1)
+            r2 = df_sub(b2_df, y2)
+            # scale the f32 correction solve to stay in f32 range
+            s = jnp.maximum(
+                jnp.max(jnp.abs(r1[0])), jnp.maximum(jnp.max(jnp.abs(r2[0])), 1e-30)
+            )
+            d1, d2 = self._fast32.solve(r1[0] / s, r2[0] / s)
+            z1 = df_add(z1, (d1 * s, jnp.zeros_like(d1)))
+            z2 = df_add(z2, (d2 * s, jnp.zeros_like(d2)))
+        return z1, z2
+
+    def assemble_and_solve_df(self, g1: DF, g2: DF) -> Tuple[DF, DF]:
+        """Full pipeline from double-float boundary values: BC lift + solve."""
+        b1, b2 = self.lifted_rhs_df(g1, g2)
+        return self.solve_df(b1, b2)
+
+    def solve(self, b1, b2):
+        """Solve A z = b to ~1e-12 relative accuracy; f64 in, f64 out
+        (drop-in for ``FastDiagDPPSolver.solve``)."""
+        from perphil_tpu.ops.df32 import df_to_f64
+
+        z1, z2 = self.solve_df(df_from_f64(b1), df_from_f64(b2))
+        return df_to_f64(z1), df_to_f64(z2)

@@ -122,3 +122,14 @@ KSP_PREONLY_PARAMS: dict = {
     "ksp_monitor": None,
     **FIELDSPLIT_LU_PARAMS,
 }
+
+# TPU-native extension: production direct solver for large meshes — f32 MXU
+# fast-diagonalization with double-float iterative refinement (float64-level
+# accuracy without emulated-f64 compute; see ops/mixed.py). Same semantics
+# as LINEAR_SOLVER_PARAMS (preonly direct solve).
+TPU_DIRECT_PARAMS: dict = {
+    "mat_type": "aij",
+    "ksp_type": "preonly",
+    "pc_type": "lu",
+    "pc_factor_mat_solver_type": "fastdiag_mixed",
+}
