@@ -97,11 +97,30 @@ def bc_values_per_field(
 # ---------------------------------------------------------------------------
 
 
-def _masks(mesh: StructuredMesh):
+def _masks(mesh: StructuredMesh, padding: Tuple[int, ...] = ()):
     # kept as numpy: these are cached on operator instances that outlive any
     # single jit trace — jnp constants created inside a trace would leak
     bdry = mesh.boundary_mask()
+    if padding and any(padding):
+        # phantom nodes (high end of each grid axis) are marked boundary:
+        # identity rows with zero data, so solves on the padded grid produce
+        # exactly the unpadded iterates. Used to make node counts divisible
+        # by device-mesh axes (GSPMD rejects uneven shardings) and to align
+        # the innermost axis to TPU lanes.
+        bdry = np.pad(
+            bdry, [(0, p) for p in padding], mode="constant", constant_values=True
+        )
     return bdry, ~bdry
+
+
+def normalize_padding(mesh: StructuredMesh, padding) -> Tuple[int, ...]:
+    """Validate/normalize a per-grid-axis (slowest-first) padding tuple."""
+    if not padding:
+        return (0,) * mesh.dim
+    padding = tuple(int(p) for p in padding)
+    if len(padding) != mesh.dim or any(p < 0 for p in padding):
+        raise ValueError(f"Bad padding {padding} for a {mesh.dim}D mesh")
+    return padding
 
 
 @dataclass(frozen=True)
@@ -119,14 +138,21 @@ class DPPOperator:
 
     W: MixedFunctionSpace
     params: DPPParameters
+    padding: Tuple[int, ...] = ()
 
     def __post_init__(self):
         if self.W.num_sub_spaces() != 2:
             raise ValueError(f"Expected a 2-field MixedFunctionSpace, got {type(self.W)}")
+        object.__setattr__(self, "padding", normalize_padding(self.W.mesh, self.padding))
 
     @property
     def mesh(self) -> StructuredMesh:
         return self.W.mesh
+
+    @property
+    def grid_shape(self) -> Tuple[int, ...]:
+        """Working grid shape (node grid plus phantom padding)."""
+        return tuple(n + p for n, p in zip(self.mesh.node_shape, self.padding))
 
     @cached_property
     def _stencils(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -134,7 +160,7 @@ class DPPOperator:
 
     @cached_property
     def _mask_arrays(self):
-        return _masks(self.mesh)
+        return _masks(self.mesh, self.padding)
 
     def matvec(self, z1: jnp.ndarray, z2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Apply the BC-eliminated operator to grid-shaped fields."""
@@ -179,7 +205,7 @@ class DPPOperator:
     # -- flat-vector views (Krylov solvers store bases as flat vectors) ----
 
     def flat_matvec(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
-        shape = self.mesh.node_shape
+        shape = self.grid_shape
         n = int(np.prod(shape))
 
         def mv(x: jnp.ndarray) -> jnp.ndarray:
@@ -206,11 +232,12 @@ class DPPOperator:
         K_st, M_st = self._stencils
         p = self.params
         center = (1,) * self.mesh.dim
-        bdry = jnp.asarray(self.mesh.boundary_mask())
+        bdry, _ = self._mask_arrays
+        bdry = jnp.asarray(bdry)
         d1c = (p.k1 / p.mu) * float(K_st[center]) + (p.beta / p.mu) * float(M_st[center])
         d2c = (p.k2 / p.mu) * float(K_st[center]) + (p.beta / p.mu) * float(M_st[center])
         dtype = default_dtype()
-        one = jnp.ones(self.mesh.node_shape, dtype=dtype)
+        one = jnp.ones(self.grid_shape, dtype=dtype)
         d1 = jnp.where(bdry, 1.0, d1c * one)
         d2 = jnp.where(bdry, 1.0, d2c * one)
         return jnp.concatenate([d1.ravel(), d2.ravel()])
@@ -228,6 +255,10 @@ class FieldOperator:
     k: float
     beta: float
     mu: float
+    padding: Tuple[int, ...] = ()
+
+    def __post_init__(self):
+        object.__setattr__(self, "padding", normalize_padding(self.V.mesh, self.padding))
 
     @property
     def mesh(self) -> StructuredMesh:
@@ -239,7 +270,7 @@ class FieldOperator:
 
     @cached_property
     def _mask_arrays(self):
-        return _masks(self.mesh)
+        return _masks(self.mesh, self.padding)
 
     @cached_property
     def stencil(self) -> np.ndarray:

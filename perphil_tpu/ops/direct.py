@@ -131,9 +131,9 @@ class FastDiagFieldSolver:
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
         """Solve the BC-eliminated block system on the full node grid:
-        boundary entries pass through (identity rows), interior solved
-        exactly."""
-        inner = tuple(slice(1, -1) for _ in range(self.mesh.dim))
+        boundary entries (and any phantom padding beyond the node grid)
+        pass through as identity rows, interior solved exactly."""
+        inner = tuple(slice(1, n - 1) for n in self.mesh.node_shape)
         z_int = self.solve_interior(b[inner])
         return b.at[inner].set(z_int)
 
@@ -199,6 +199,6 @@ class FastDiagDPPSolver:
     def solve(
         self, b1: jnp.ndarray, b2: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        inner = tuple(slice(1, -1) for _ in range(self.mesh.dim))
+        inner = tuple(slice(1, n - 1) for n in self.mesh.node_shape)
         z1i, z2i = self.solve_interior(b1[inner], b2[inner])
         return b1.at[inner].set(z1i), b2.at[inner].set(z2i)

@@ -185,18 +185,11 @@ def build_field_system(mesh: StructuredMesh, k: float, beta: float, mu: float) -
 # ---------------------------------------------------------------------------
 
 
-def ilu0_factorize(sys: StructuredSystem) -> np.ndarray:
-    """In-pattern incomplete LU with no fill outside the structural pattern.
-
-    Returns a new (nrows, noffs) array holding L (unit diagonal implied,
-    entries at lower offsets) and U (diagonal + upper offsets), like PETSc's
-    combined factor storage.
-    """
-    vals = sys.vals.copy()
+def _factorization_tables(sys: StructuredSystem):
+    """Shared precomputation: lower-offset order, offset-difference map, and
+    per-k upper-update lists."""
     deltas = sys.deltas
     noffs = deltas.shape[0]
-    center = sys.center_index
-    nrows = sys.nrows
     order_lower = [t for t in np.argsort(deltas) if deltas[t] < 0]
     # offset-difference map: m[k][j] = index with delta == delta_j - delta_k
     # (and matching block/geom difference), or -1
@@ -209,11 +202,68 @@ def ilu0_factorize(sys: StructuredSystem) -> np.ndarray:
             t = key.get((db, dg), -1)
             if t >= 0:
                 mmap[k, j] = t
-
     uppers_of = {
         k: [j for j in range(noffs) if deltas[j] > deltas[k] and mmap[k, j] >= 0]
         for k in order_lower
     }
+    return order_lower, mmap, uppers_of
+
+
+def ilu0_factorize(sys: StructuredSystem) -> np.ndarray:
+    """In-pattern incomplete LU with no fill outside the structural pattern.
+
+    Returns a new (nrows, noffs) array holding L (unit diagonal implied,
+    entries at lower offsets) and U (diagonal + upper offsets), like PETSc's
+    combined factor storage. Uses the native C++ kernel when available
+    (``csrc/structured_ilu.cpp``), else the level-vectorized numpy fallback.
+    """
+    order_lower, mmap, uppers_of = _factorization_tables(sys)
+
+    from perphil_tpu import _native
+
+    lib = _native.load()
+    if lib is not None:
+        import ctypes
+
+        vals = np.ascontiguousarray(sys.vals, dtype=np.float64).copy()
+        deltas = np.ascontiguousarray(sys.deltas, dtype=np.int64)
+        valid = np.ascontiguousarray(sys.valid, dtype=np.uint8)
+        lower = np.ascontiguousarray(order_lower, dtype=np.int64)
+        mmap_c = np.ascontiguousarray(mmap, dtype=np.int64)
+        uppers_list, uptr = [], [0]
+        for k in order_lower:
+            uppers_list.extend(uppers_of[k])
+            uptr.append(len(uppers_list))
+        uppers = np.ascontiguousarray(uppers_list or [0], dtype=np.int64)
+        uppers_ptr = np.ascontiguousarray(uptr, dtype=np.int64)
+
+        def p64(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+        lib.ilu0_factorize(
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            p64(deltas),
+            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sys.nrows,
+            deltas.shape[0],
+            p64(lower),
+            len(order_lower),
+            p64(mmap_c),
+            p64(uppers),
+            p64(uppers_ptr),
+            sys.center_index,
+        )
+        return vals
+
+    return _ilu0_factorize_numpy(sys, order_lower, mmap, uppers_of)
+
+
+def _ilu0_factorize_numpy(sys: StructuredSystem, order_lower, mmap, uppers_of) -> np.ndarray:
+    """Level-vectorized numpy fallback (bit-identical to the native path)."""
+    vals = sys.vals.copy()
+    deltas = sys.deltas
+    center = sys.center_index
+    nrows = sys.nrows
 
     for R in sys.levels:
         for k in order_lower:

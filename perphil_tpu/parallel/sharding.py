@@ -94,6 +94,21 @@ def shard_grid(x, dmesh: Mesh):
     return jax.device_put(x, NamedSharding(dmesh, field_spec(dmesh, x.ndim, stacked=False)))
 
 
+def mesh_padding(node_shape: Tuple[int, ...], dmesh: Mesh) -> Tuple[int, ...]:
+    """Phantom padding per grid axis making each sharded axis divisible by
+    its device-mesh axis (GSPMD rejects uneven shardings; node grids are
+    N+1 and rarely divisible)."""
+    sizes = dict(zip(dmesh.axis_names, dmesh.devices.shape))
+    pad = []
+    for ax, n in enumerate(node_shape):
+        if ax < len(dmesh.axis_names):
+            s = sizes[dmesh.axis_names[ax]]
+            pad.append((-n) % s)
+        else:
+            pad.append(0)
+    return tuple(pad)
+
+
 def sharded_solve_dpp(
     W: MixedFunctionSpace,
     model_params,
@@ -104,13 +119,27 @@ def sharded_solve_dpp(
     """``solve_dpp`` with boundary data placed on a device mesh: the cached
     compiled solver partitions across devices via XLA SPMD (halo exchange +
     psum inserted automatically). Results match single-device bit-for-bit
-    up to reduction reordering."""
+    up to reduction reordering.
+
+    Arbitrary mesh sizes are supported: node grids are phantom-padded
+    (identity rows, zero data — mathematically inert) to divisibility.
+    """
+    import jax.numpy as jnp
+
     from perphil_tpu.ops.assembly import bc_values_per_field
     from perphil_tpu.solvers.solver import Solution, _build_linear_solver, _freeze
 
     g1, g2 = bc_values_per_field(W, bcs)
+    padding = mesh_padding(W.mesh.node_shape, dmesh)
+    if any(padding):
+        pads = [(0, p) for p in padding]
+        g1 = jnp.pad(g1, pads)
+        g2 = jnp.pad(g2, pads)
     g1 = shard_grid(g1, dmesh)
     g2 = shard_grid(g2, dmesh)
-    solver = _build_linear_solver(W, model_params, _freeze(solver_parameters))
+    solver = _build_linear_solver(W, model_params, _freeze(solver_parameters), padding)
     z1, z2, its, rnorm = solver(g1, g2)
+    if any(padding):
+        crop = tuple(slice(0, n) for n in W.mesh.node_shape)
+        z1, z2 = z1[crop], z2[crop]
     return Solution(Function(W, (z1, z2)), int(its), float(rnorm))

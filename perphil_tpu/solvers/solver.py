@@ -176,10 +176,15 @@ def _block_solver(fop: FieldOperator, sub: Dict[str, object]) -> Callable:
     raise ValueError(f"Unsupported block ksp_type: {ksp!r}")
 
 
-def _coupling_apply(mesh: StructuredMesh, params: DPPParameters) -> Callable:
+def _coupling_apply(
+    mesh: StructuredMesh, params: DPPParameters, padding: Tuple[int, ...] = ()
+) -> Callable:
     """The off-diagonal block ``C = -(beta/mu) M`` with BC rows/cols zeroed."""
+    from perphil_tpu.ops.assembly import _masks
+
     _, M_st = compile_stencils(mesh)
-    bdry = jnp.asarray(mesh.boundary_mask())
+    bdry, _ = _masks(mesh, padding)
+    bdry = jnp.asarray(bdry)
     coef = -(params.beta / params.mu)
 
     def C(z):
@@ -198,11 +203,12 @@ def _monolithic_pc(
     sequential by nature and reshapes to the flat row order internally)."""
     pc_type = str(flat.get("pc_type", "none"))
     mesh = op.mesh
+    gshape = op.grid_shape
 
     if pc_type == "none":
         return None
     if pc_type == "jacobi":
-        dinv = (1.0 / op.diagonal()).reshape((2,) + mesh.node_shape)
+        dinv = (1.0 / op.diagonal()).reshape((2,) + gshape)
         return lambda r: dinv * r
     if pc_type in ("lu", "cholesky"):
         direct = _monolithic_direct(op)
@@ -216,19 +222,24 @@ def _monolithic_pc(
         from perphil_tpu.ops.ilu import StructuredILU0
 
         ilu = StructuredILU0.for_monolithic(op)
+        crop = (slice(None),) + tuple(slice(0, n) for n in mesh.node_shape)
 
         def apply_ilu(r):
-            return ilu.apply_flat(r.reshape(-1)).reshape(r.shape)
+            # ILU is sequential (wavefront) and runs on the unpadded system;
+            # phantom rows are identity, so the PC passes them through.
+            rr = r[crop]
+            z = ilu.apply_flat(rr.reshape(-1)).reshape(rr.shape)
+            return r.at[crop].set(z)
 
         return apply_ilu
     if pc_type == "fieldsplit":
         fs_type = str(flat.get("pc_fieldsplit_type", "multiplicative"))
         p = op.params
-        f0 = FieldOperator(op.W.sub(0), p.k1, p.beta, p.mu)
-        f1 = FieldOperator(op.W.sub(1), p.k2, p.beta, p.mu)
+        f0 = FieldOperator(op.W.sub(0), p.k1, p.beta, p.mu, op.padding)
+        f1 = FieldOperator(op.W.sub(1), p.k2, p.beta, p.mu, op.padding)
         B0 = _block_solver(f0, _sub_options(flat, "fieldsplit_0_"))
         B1 = _block_solver(f1, _sub_options(flat, "fieldsplit_1_"))
-        C = _coupling_apply(mesh, p)
+        C = _coupling_apply(mesh, p, op.padding)
 
         if fs_type == "multiplicative":
 
@@ -261,7 +272,7 @@ def _monolithic_direct(op: DPPOperator) -> Callable:
     p = op.params
     pc1 = FastDiagFieldSolver(mesh, p.k1, p.beta, p.mu, lumped=True)
     pc2 = FastDiagFieldSolver(mesh, p.k2, p.beta, p.mu, lumped=True)
-    shape = mesh.node_shape
+    shape = op.grid_shape
     n = int(np.prod(shape))
     mv = op.flat_matvec()
 
@@ -285,21 +296,31 @@ def _monolithic_direct(op: DPPOperator) -> Callable:
 
 @lru_cache(maxsize=64)
 def _build_linear_solver(
-    W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
+    W: MixedFunctionSpace,
+    params: DPPParameters,
+    frozen_sp: Tuple,
+    padding: Tuple[int, ...] = (),
 ) -> Callable:
     """Compile a linear solve ``(g1, g2) -> (z1, z2, its, rnorm)`` for
-    boundary-value grids g1, g2."""
+    boundary-value grids g1, g2.
+
+    With ``padding``, inputs/outputs carry phantom nodes at the high end of
+    each grid axis (identity rows, zero data) — used by the sharded path to
+    make node counts divisible by device-mesh axes."""
     flat = dict(frozen_sp)
-    op = DPPOperator(W, params)
+    op = DPPOperator(W, params, padding)
     mesh = W.mesh
-    shape = mesh.node_shape
+    shape = op.grid_shape
     n = int(np.prod(shape))
     ksp = str(flat.get("ksp_type", "gmres"))
 
     if ksp == "preonly":
         pc_type = str(flat.get("pc_type", "lu"))
         if pc_type in ("lu", "cholesky"):
-            if str(flat.get("pc_factor_mat_solver_type", "")) == "fastdiag_mixed":
+            if (
+                str(flat.get("pc_factor_mat_solver_type", "")) == "fastdiag_mixed"
+                and not any(padding)
+            ):
                 # production mixed-precision path: f32 MXU fast-diag +
                 # double-float refinement (f64-emulation-free hot loop)
                 from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
@@ -336,7 +357,7 @@ def _build_linear_solver(
     pc = _monolithic_pc(op, flat)
     mv = op.stacked_matvec()
 
-    bdry = jnp.asarray(mesh.boundary_mask())
+    bdry = jnp.asarray(op._mask_arrays[0])
 
     def solve_krylov(g1, g2):
         # Firedrake's LinearVariationalSolver is SNES ksponly: the KSP sees
@@ -381,6 +402,9 @@ def solve_dpp(
     reference ``solver.py:30-76`` (returns ``Solution`` with the KSP
     iteration count and residual norm)."""
     _validate_mixed(W)
+    from perphil_tpu.solvers.options import apply_prefix_overrides
+
+    solver_parameters = apply_prefix_overrides(solver_parameters, options_prefix)
     g1, g2 = bc_values_per_field(W, bcs)
     solver = _build_linear_solver(W, model_params, _freeze(solver_parameters))
     z1, z2, its, rnorm = solver(g1, g2)
@@ -399,6 +423,9 @@ def solve_dpp_nonlinear(
     ``solver.py:79-128`` (SNES ``nrichardson``/``ngs`` dispatch, iteration
     count from the SNES, residual = final function norm)."""
     _validate_mixed(W)
+    from perphil_tpu.solvers.options import apply_prefix_overrides
+
+    solver_parameters = apply_prefix_overrides(solver_parameters, options_prefix)
     g1, g2 = bc_values_per_field(W, bcs)
     flat = _flatten_options(solver_parameters)
     snes = str(flat.get("snes_type", "ngs"))
