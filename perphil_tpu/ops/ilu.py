@@ -310,11 +310,19 @@ class StructuredILU0:
 
     @classmethod
     def _from_system(cls, sys: StructuredSystem) -> "StructuredILU0":
+        import os
+
         f = ilu0_factorize(sys)
+        # The PC application dtype: float32 by default — TPU f64 is
+        # emulated ~30x slower, and a preconditioner needs no more than
+        # f32 accuracy (golden iteration counts 5/11/20 are preserved;
+        # large-N counts can shift by +-1). Set PERPHIL_TPU_ILU_DTYPE=
+        # float64 for exact PETSc parity mode.
+        dtype = jnp.dtype(os.environ.get("PERPHIL_TPU_ILU_DTYPE", "float32"))
         return cls(
             mesh=sys.mesh,
             nfields=sys.nfields,
-            factors=jnp.asarray(f),
+            factors=jnp.asarray(f, dtype=dtype),
             deltas=tuple(int(x) for x in sys.deltas),
             center=sys.center_index,
             levels=jnp.asarray(_padded_levels(sys)),
@@ -352,12 +360,15 @@ class StructuredILU0:
         return zout[:nrows]
 
     def apply_flat(self, r: jnp.ndarray) -> jnp.ndarray:
-        """z = U^{-1} (L^{-1} r) with unit-lower L."""
+        """z = U^{-1} (L^{-1} r) with unit-lower L (computed in the factor
+        dtype — float32 by default — and cast back)."""
+        out_dtype = r.dtype
+        r = r.astype(self.factors.dtype)
         lower = tuple(t for t, d in enumerate(self.deltas) if d < 0)
         upper = tuple(t for t, d in enumerate(self.deltas) if d > 0)
         y = self._sweep(r, lower, jnp.zeros_like(r), reverse=False, scale_diag=False)
         z = self._sweep(y, upper, jnp.zeros_like(r), reverse=True, scale_diag=True)
-        return z
+        return z.astype(out_dtype)
 
     def apply_grid(self, r: jnp.ndarray) -> jnp.ndarray:
         """Single-field convenience: grid -> grid."""

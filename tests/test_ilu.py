@@ -62,7 +62,8 @@ def test_ilu0_matches_sequential_reference():
     assert np.abs(F_dense - F_ref).max() < 1e-12
 
 
-def test_ilu_apply_is_lu_solve():
+def test_ilu_apply_is_lu_solve(monkeypatch):
+    monkeypatch.setenv("PERPHIL_TPU_ILU_DTYPE", "float64")  # exactness test
     mesh = create_mesh(4, 4)
     params = DPPParameters()
     _, V = create_function_spaces(mesh)
@@ -79,6 +80,28 @@ def test_ilu_apply_is_lu_solve():
     z = np.asarray(ilu.apply_flat(jnp.asarray(r)))
     z_ref = np.linalg.solve(U, np.linalg.solve(L, r))
     assert np.abs(z - z_ref).max() < 1e-11
+
+
+def test_ilu_apply_f32_default_close():
+    """Default (float32) PC application stays within f32 accuracy of the
+    exact L/U solves — plenty for preconditioning."""
+    mesh = create_mesh(4, 4)
+    params = DPPParameters()
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    op = DPPOperator(W, params)
+    ilu = StructuredILU0.for_monolithic(op)
+    assert ilu.factors.dtype == jnp.float32
+    sysm = build_monolithic_system(mesh, params)
+    F = ilu0_factorize(sysm)
+    Fd = _system_to_dense(sysm, vals=F)
+    L = np.tril(Fd, -1) + np.eye(sysm.nrows)
+    U = np.triu(Fd)
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(sysm.nrows)
+    z = np.asarray(ilu.apply_flat(jnp.asarray(r)))
+    z_ref = np.linalg.solve(U, np.linalg.solve(L, r))
+    assert np.abs(z - z_ref).max() / np.abs(z_ref).max() < 1e-5
 
 
 def test_gs_sweep_matches_dense():
