@@ -200,6 +200,34 @@ def estimate_condition_numbers(
         def inv_11(x, _fd=fd1):
             return _fd.solve(x.reshape(shape)).ravel()
 
+    elif use_sparse:
+        # simplicial meshes: exact inverse application via tightly-converged
+        # PCG (same machinery the "LU" role uses; docs/design.md §3)
+        import jax.numpy as jnp
+
+        from perphil_tpu.ops.assembly import DPPOperator, FieldOperator
+        from perphil_tpu.solvers.solver import _exact_field_solver, _monolithic_direct
+
+        shape = mesh.node_shape
+        op = DPPOperator(W, params)
+        direct_mono = _monolithic_direct(op)
+        B0 = _exact_field_solver(
+            FieldOperator(W.sub(0), params.k1, params.beta, params.mu)
+        )
+        B1 = _exact_field_solver(
+            FieldOperator(W.sub(1), params.k2, params.beta, params.mu)
+        )
+
+        def inv_mono(x, _n=n0):
+            z1, z2 = direct_mono(x[:_n].reshape(shape), x[_n:].reshape(shape))
+            return jnp.concatenate([z1.ravel(), z2.ravel()])
+
+        def inv_00(x):
+            return B0(x.reshape(shape)).ravel()
+
+        def inv_11(x):
+            return B1(x.reshape(shape)).ravel()
+
     cond_full = conditioning.calculate_condition_number(
         csr, num_singular_values=num_of_factors, use_sparse=use_sparse,
         inv_apply=inv_mono,

@@ -72,3 +72,14 @@ def test_condition_numbers_match_reference_3d_hex():
     assert abs(conds["monolithic"] - 166.58) / 166.58 < 1e-3
     assert abs(conds["macro"] - 2.708) / 2.708 < 1e-3
     assert abs(conds["micro"] - 166.48) / 166.48 < 1e-3
+
+
+def test_sparse_conditioning_simplicial_matches_dense():
+    """PCG-based inverse Lanczos on triangle meshes must agree with dense SVD."""
+    mesh = create_mesh(8, 8, quadrilateral=False)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    dense = estimate_condition_numbers(W, num_of_factors=None, use_sparse=False)
+    sparse = estimate_condition_numbers(W, num_of_factors=50, use_sparse=True)
+    for key in ("monolithic", "macro", "micro"):
+        assert abs(sparse[key] - dense[key]) / dense[key] < 1e-6
