@@ -57,6 +57,20 @@ class MixedPrecisionDPPDirect:
     mesh: StructuredMesh
     params: DPPParameters
     refinements: int = 5
+    padding: Tuple[int, ...] = ()
+
+    def __post_init__(self):
+        from perphil_tpu.ops.assembly import normalize_padding
+
+        object.__setattr__(
+            self, "padding", normalize_padding(self.mesh, self.padding)
+        )
+
+    @cached_property
+    def _bdry(self):
+        from perphil_tpu.ops.assembly import _masks
+
+        return _masks(self.mesh, self.padding)[0]
 
     @cached_property
     def _fast32(self) -> FastDiagDPPSolver:
@@ -89,7 +103,7 @@ class MixedPrecisionDPPDirect:
         ``DPPOperator.lifted_rhs``): interior rows get ``-A[int,bd] g``,
         boundary rows pass ``g`` through."""
         S1, S2, C = self._stencils
-        bdry = self.mesh.boundary_mask()
+        bdry = self._bdry
         zero = (jnp.zeros_like(g1[0]), jnp.zeros_like(g1[1]))
         g1b = _mask_df(g1, bdry, zero)
         g2b = _mask_df(g2, bdry, zero)
@@ -102,7 +116,7 @@ class MixedPrecisionDPPDirect:
 
     def solve_df(self, b1_df: DF, b2_df: DF) -> Tuple[DF, DF]:
         """Refined solve in pure double-float (no f64 ops on the hot path)."""
-        bdry = self.mesh.boundary_mask()
+        bdry = self._bdry
         x1, x2 = self._fast32.solve(b1_df[0], b2_df[0])
         z1: DF = (x1, jnp.zeros_like(x1))
         z2: DF = (x2, jnp.zeros_like(x2))

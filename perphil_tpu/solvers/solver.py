@@ -317,15 +317,12 @@ def _build_linear_solver(
     if ksp == "preonly":
         pc_type = str(flat.get("pc_type", "lu"))
         if pc_type in ("lu", "cholesky"):
-            if (
-                str(flat.get("pc_factor_mat_solver_type", "")) == "fastdiag_mixed"
-                and not any(padding)
-            ):
+            if str(flat.get("pc_factor_mat_solver_type", "")) == "fastdiag_mixed":
                 # production mixed-precision path: f32 MXU fast-diag +
                 # double-float refinement (f64-emulation-free hot loop)
                 from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
 
-                direct = MixedPrecisionDPPDirect(mesh, params).solve
+                direct = MixedPrecisionDPPDirect(mesh, params, padding=padding).solve
             else:
                 direct = _monolithic_direct(op)
 

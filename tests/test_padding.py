@@ -87,3 +87,21 @@ def test_sharded_solve_arbitrary_size():
     for a, b in zip(sol.solution.data, ref.solution.data):
         scale = np.abs(np.asarray(b)).max()
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-8
+
+
+def test_padded_mixed_direct_matches():
+    mesh, W, params, bcs = _problem(9)
+    from perphil_tpu.solvers.parameters import TPU_DIRECT_PARAMS
+
+    ref = solve_dpp(W, params, bcs, solver_parameters=TPU_DIRECT_PARAMS)
+    from perphil_tpu.ops.assembly import bc_values_per_field
+
+    g1, g2 = bc_values_per_field(W, bcs)
+    pad = (2, 6)
+    pads = [(0, p) for p in pad]
+    solver = _build_linear_solver(W, params, _freeze(TPU_DIRECT_PARAMS), pad)
+    z1, z2, its, _ = solver(jnp.pad(g1, pads), jnp.pad(g2, pads))
+    crop = tuple(slice(0, n) for n in mesh.node_shape)
+    for zp, zr in zip((z1, z2), ref.solution.data):
+        scale = np.abs(np.asarray(zr)).max()
+        assert np.abs(np.asarray(zp[crop]) - np.asarray(zr)).max() / scale < 1e-9
