@@ -115,12 +115,22 @@ class MixedPrecisionDPPDirect:
         return b1, b2
 
     def solve_df(self, b1_df: DF, b2_df: DF) -> Tuple[DF, DF]:
-        """Refined solve in pure double-float (no f64 ops on the hot path)."""
+        """Refined solve in pure double-float (no f64 ops on the hot path).
+
+        Refinement is adaptive: iterate until the double-float residual
+        drops below ~50 eps_df relative (or ``refinements`` steps, whichever
+        first) — each step contracts the error by ~kappa(A)*eps_f32."""
+        import jax
+
         bdry = self._bdry
         x1, x2 = self._fast32.solve(b1_df[0], b2_df[0])
-        z1: DF = (x1, jnp.zeros_like(x1))
-        z2: DF = (x2, jnp.zeros_like(x2))
-        for _ in range(self.refinements):
+        bnorm = jnp.sqrt(
+            jnp.vdot(b1_df[0], b1_df[0]) + jnp.vdot(b2_df[0], b2_df[0])
+        ).real
+        tol = jnp.float32(3e-13) * jnp.maximum(bnorm, 1e-30)
+
+        def body(state):
+            z1, z2, it, rnorm = state
             y1, y2 = self._df_matvec(z1, z2, bdry)
             r1 = df_sub(b1_df, y1)
             r2 = df_sub(b2_df, y2)
@@ -131,6 +141,17 @@ class MixedPrecisionDPPDirect:
             d1, d2 = self._fast32.solve(r1[0] / s, r2[0] / s)
             z1 = df_add(z1, (d1 * s, jnp.zeros_like(d1)))
             z2 = df_add(z2, (d2 * s, jnp.zeros_like(d2)))
+            rnorm = jnp.sqrt(jnp.vdot(r1[0], r1[0]) + jnp.vdot(r2[0], r2[0])).real
+            return z1, z2, it + 1, rnorm
+
+        def cond(state):
+            _, _, it, rnorm = state
+            return (it < self.refinements) & (rnorm > tol)
+
+        z1 = (x1, jnp.zeros_like(x1))
+        z2 = (x2, jnp.zeros_like(x2))
+        init = (z1, z2, jnp.asarray(0), bnorm)
+        z1, z2, _, _ = jax.lax.while_loop(cond, body, init)
         return z1, z2
 
     def assemble_and_solve_df(self, g1: DF, g2: DF) -> Tuple[DF, DF]:
