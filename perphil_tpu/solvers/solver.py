@@ -221,6 +221,12 @@ def _monolithic_pc(
     if pc_type == "ilu":
         from perphil_tpu.ops.ilu import StructuredILU0
 
+        levels = int(flat.get("pc_factor_levels", 0) or 0)
+        if levels != 0:
+            raise NotImplementedError(
+                "Only ILU(0) is implemented (the only level any reference "
+                "workload uses, parameters.py:27)"
+            )
         ilu = StructuredILU0.for_monolithic(op)
         crop = (slice(None),) + tuple(slice(0, n) for n in mesh.node_shape)
 
