@@ -189,6 +189,49 @@ class PerfResult:
         return base
 
 
+KSP_CHUNK = 7980  # 266 GMRES(30) cycles: chunk boundaries coincide with
+# restarts, so chunked trajectories are identical to uninterrupted ones.
+# Needed because a single >40k-iteration while_loop execution exceeds the
+# device/relay execution limit (observed fault at 2D nx=256 plain GMRES).
+
+
+def build_chunked_plain_solver(W, params, sp_dict, chunk: int = KSP_CHUNK):
+    """A Python-level driver equivalent to one long GMRES run, split into
+    restart-aligned device executions via initial-guess continuation."""
+    import jax.numpy as jnp
+
+    base = dict(sp_dict)
+    rtol = float(base.get("ksp_rtol", 1e-5))
+    atol = float(base.get("ksp_atol", 1e-50))
+    max_total = int(base.get("ksp_max_it", 10000))
+    first = _build_linear_solver(
+        W, params, _freeze({**base, "ksp_max_it": min(chunk, max_total)})
+    )
+    cont = _build_linear_solver(
+        W,
+        params,
+        _freeze({**base, "ksp_max_it": chunk, "ksp_initial_guess_nonzero": True}),
+    )
+    op = DPPOperator(W, params)
+    bdry = jnp.asarray(W.mesh.boundary_mask())
+
+    def solve(g1, g2):
+        b1, b2 = op.lifted_rhs(g1, g2)
+        x01 = jnp.where(bdry, g1, 0.0)
+        x02 = jnp.where(bdry, g2, 0.0)
+        r1, r2 = op.residual(x01, x02, b1, b2)
+        rnorm0 = float(jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2)).real)
+        tol = max(rtol * rnorm0, atol)
+        z1, z2, its, rnorm = first(g1, g2)
+        total = int(its)
+        while float(rnorm) > tol and total < max_total:
+            z1, z2, its, rnorm = cont(g1, g2, z1, z2, tol)
+            total += int(its)
+        return z1, z2, total, rnorm
+
+    return solve
+
+
 def _block(x):
     """Wait for device completion. ``block_until_ready`` alone is not enough
     on relayed backends (the axon TPU tunnel acks before execution
@@ -290,6 +333,10 @@ def run_perf_once(
     t0 = time.perf_counter()
     if approach == Approach.PICARD_MUMPS:
         solver = _build_nonlinear_solver(W, params, _freeze(sp_dict))
+    elif approach == Approach.PLAIN_GMRES and W.dim() > 60000:
+        # very long unpreconditioned runs exceed the single-execution limit;
+        # chunk at restart boundaries (identical trajectory)
+        solver = build_chunked_plain_solver(W, params, sp_dict)
     else:
         solver = _build_linear_solver(W, params, _freeze(sp_dict))
     t_setup = time.perf_counter() - t0

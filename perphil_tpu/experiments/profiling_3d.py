@@ -63,6 +63,10 @@ def run_perf_once_3d(
     t0 = time.perf_counter()
     if approach == Approach.PICARD_MUMPS:
         solver = _build_nonlinear_solver(W, params, _freeze(sp_dict))
+    elif approach == Approach.PLAIN_GMRES and W.dim() > 60000:
+        from perphil_tpu.experiments.profiling import build_chunked_plain_solver
+
+        solver = build_chunked_plain_solver(W, params, sp_dict)
     else:
         solver = _build_linear_solver(W, params, _freeze(sp_dict))
     t_setup = time.perf_counter() - t0

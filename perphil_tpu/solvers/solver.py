@@ -361,6 +361,30 @@ def _build_linear_solver(
     mv = op.stacked_matvec()
 
     bdry = jnp.asarray(op._mask_arrays[0])
+    with_guess = bool(flat.get("ksp_initial_guess_nonzero", False))
+
+    def _solve_from(x01, x02, b1, b2, rtol_, atol_):
+        r1, r2 = op.residual(x01, x02, b1, b2)
+        r = jnp.stack([r1, r2])
+        if ksp == "gmres":
+            res = gmres(
+                mv, r, rtol=rtol_, atol=atol_, max_it=max_it, restart=restart,
+                M_inv=pc,
+            )
+            d, its, rnorm = res.x, res.iterations, res.residual_norm
+        else:
+            d, its, rnorm = cg(mv, r, rtol=rtol_, atol=atol_, max_it=max_it, M_inv=pc)
+        return x01 + d[0], x02 + d[1], its, rnorm
+
+    if with_guess:
+        # PETSc's KSPSetInitialGuessNonzero analogue: the caller supplies the
+        # starting iterate (used e.g. to chunk very long Krylov runs across
+        # multiple device executions) and an absolute tolerance.
+        def solve_krylov_x0(g1, g2, x01, x02, atol_abs):
+            b1, b2 = op.lifted_rhs(g1, g2)
+            return _solve_from(x01, x02, b1, b2, 0.0, atol_abs)
+
+        return jax.jit(solve_krylov_x0)
 
     def solve_krylov(g1, g2):
         # Firedrake's LinearVariationalSolver is SNES ksponly: the KSP sees
@@ -370,16 +394,7 @@ def _build_linear_solver(
         b1, b2 = op.lifted_rhs(g1, g2)
         x01 = jnp.where(bdry, g1, 0.0)
         x02 = jnp.where(bdry, g2, 0.0)
-        r1, r2 = op.residual(x01, x02, b1, b2)
-        r = jnp.stack([r1, r2])
-        if ksp == "gmres":
-            res = gmres(
-                mv, r, rtol=rtol, atol=atol, max_it=max_it, restart=restart, M_inv=pc
-            )
-            d, its, rnorm = res.x, res.iterations, res.residual_norm
-        else:
-            d, its, rnorm = cg(mv, r, rtol=rtol, atol=atol, max_it=max_it, M_inv=pc)
-        return x01 + d[0], x02 + d[1], its, rnorm
+        return _solve_from(x01, x02, b1, b2, rtol, atol)
 
     return jax.jit(solve_krylov)
 
