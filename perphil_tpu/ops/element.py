@@ -69,10 +69,12 @@ def _simplex(verts_unit: np.ndarray, h: Tuple[float, ...]) -> Subcell:
     E = (phys[1:] - phys[0]).T  # d x d edge matrix
     detE = np.linalg.det(E)
     vol = abs(detE) / float(np.prod(np.arange(1, d + 1)))  # |det| / d!
-    # gradients: [ -sum(rows); inv(E).T rows ]
+    # barycentric coords: lam = Einv (p - v0), so grad(lam_i) is the i-th
+    # ROW of Einv (NOT Einv.T — transposing is only harmless for
+    # axis-aligned simplices); grad(lam_0) = -sum of the others
     Einv = np.linalg.inv(E)
     grads = np.zeros((d + 1, d))
-    grads[1:] = Einv.T
+    grads[1:] = Einv
     grads[0] = -grads[1:].sum(axis=0)
     Ke = vol * grads @ grads.T
     Me = vol / ((d + 1) * (d + 2)) * (np.ones((d + 1, d + 1)) + np.eye(d + 1))

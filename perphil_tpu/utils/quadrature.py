@@ -80,7 +80,8 @@ def _simplex_basis(verts_phys: np.ndarray):
     E = (verts_phys[1:] - verts_phys[0]).T
     Einv = np.linalg.inv(E)
     grads = np.zeros((d + 1, d))
-    grads[1:] = Einv.T
+    # grad(lam_i) = i-th row of Einv (lam = Einv (p - v0))
+    grads[1:] = Einv
     grads[0] = -grads[1:].sum(axis=0)
 
     def basis_at(p_phys: np.ndarray) -> np.ndarray:
