@@ -99,10 +99,39 @@ def _sub_options(flat: Dict[str, object], prefix: str) -> Dict[str, object]:
 # ---------------------------------------------------------------------------
 
 
+def _use_mixed_exact() -> bool:
+    """Choose the implementation of 'exact' (LU-role) solves.
+
+    On backends with emulated float64 (TPU/axon) the f64 matmul path both
+    costs 30-100x more AND loses accuracy with size (observed 1e-7-level
+    block solves at 2D N=256, inflating fieldsplit-LU outer iterations from
+    4 to 31) — refined f32+double-float solves are faster and accurate to
+    ~1e-12 independent of emulation quality. Override with
+    PERPHIL_TPU_EXACT_SOLVES=mixed|f64 (default: auto by backend).
+    """
+    import os
+
+    mode = os.environ.get("PERPHIL_TPU_EXACT_SOLVES", "auto")
+    if mode == "mixed":
+        return True
+    if mode in ("f64", "float64"):
+        return False
+    try:
+        return jax.default_backend().lower() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _exact_field_solver(fop: FieldOperator) -> Callable:
     """Exact 'LU-class' solve of one BC-eliminated block."""
     mesh = fop.mesh
     if mesh.is_tensor_product:
+        if _use_mixed_exact():
+            from perphil_tpu.ops.mixed import MixedPrecisionFieldDirect
+
+            return MixedPrecisionFieldDirect(
+                mesh, fop.k, fop.beta, fop.mu, padding=fop.padding
+            ).solve
         fd = FastDiagFieldSolver(mesh, fop.k, fop.beta, fop.mu)
         return fd.solve
     # simplicial: PCG with the lumped-tensor fast-diag preconditioner,
@@ -272,6 +301,10 @@ def _monolithic_direct(op: DPPOperator) -> Callable:
     """Exact direct solve of the monolithic system (grids -> grids)."""
     mesh = op.mesh
     if mesh.is_tensor_product:
+        if _use_mixed_exact():
+            from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
+
+            return MixedPrecisionDPPDirect(mesh, op.params, padding=op.padding).solve
         return FastDiagDPPSolver(mesh, op.params).solve
     # simplicial: machine-tolerance PCG (monolithic matrix is SPD) with a
     # block-diagonal lumped fast-diag preconditioner.

@@ -105,3 +105,46 @@ def test_tpu_direct_preset_solves():
     for a, b in zip(sol.solution.data, ref.solution.data):
         scale = np.abs(np.asarray(b)).max()
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-10
+
+
+def test_mixed_field_direct_matches_f64(monkeypatch):
+    mesh = create_mesh(16, 16)
+    params = DPPParameters()
+    from perphil_tpu.ops.direct import FastDiagFieldSolver
+    from perphil_tpu.ops.mixed import MixedPrecisionFieldDirect
+
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(mesh.node_shape))
+    fd = FastDiagFieldSolver(mesh, params.k1, params.beta, params.mu)
+    mx = MixedPrecisionFieldDirect(mesh, params.k1, params.beta, params.mu)
+    z64 = fd.solve(b)
+    zmx = mx.solve(b)
+    assert float(jnp.abs(zmx - z64).max() / jnp.abs(z64).max()) < 1e-10
+
+
+def test_mixed_exact_mode_env(monkeypatch):
+    """PERPHIL_TPU_EXACT_SOLVES=mixed swaps the fieldsplit block solver
+    without changing outer iteration counts."""
+    from perphil_tpu.forms import create_function_spaces, mixed_space
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.solvers import solve_dpp
+    from perphil_tpu.solvers import parameters as sp
+    from perphil_tpu.solvers.solver import _build_linear_solver
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+    mesh = create_mesh(16, 16)
+    params = DPPParameters()
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    cfg = {**sp.GMRES_PARAMS, **sp.FIELDSPLIT_LU_PARAMS}
+    ref = solve_dpp(W, params, bcs, solver_parameters=cfg)
+    monkeypatch.setenv("PERPHIL_TPU_EXACT_SOLVES", "mixed")
+    _build_linear_solver.cache_clear()
+    mixed = solve_dpp(W, params, bcs, solver_parameters=cfg)
+    _build_linear_solver.cache_clear()
+    assert mixed.iteration_number == ref.iteration_number == 4
+    for a, b in zip(mixed.solution.data, ref.solution.data):
+        scale = np.abs(np.asarray(b)).max()
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-7
