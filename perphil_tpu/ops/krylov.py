@@ -55,14 +55,23 @@ def gmres(
     restart: int = 30,
     M_inv: Optional[Op] = None,
     dtol: float = DEFAULT_DTOL,
+    reorthogonalize: Optional[bool] = None,
 ) -> KrylovResult:
     """Left-preconditioned restarted GMRES, PETSc-compatible.
 
     :param A: matrix-free operator (flat vector -> flat vector).
     :param b: right-hand side (flat).
     :param M_inv: left preconditioner application (None = identity).
+    :param reorthogonalize: CGS2 (second Gram-Schmidt pass). Default: on
+        for TPU-class backends (whose in-loop f64 reductions are noisy),
+        off on CPU — matching PETSc's plain-CGS default there.
     :returns: KrylovResult(x, iterations, residual_norm, converged).
     """
+    if reorthogonalize is None:
+        try:
+            reorthogonalize = jax.default_backend().lower() in ("tpu", "axon")
+        except Exception:
+            reorthogonalize = False
     P = M_inv or _identity
     dtype = b.dtype
     m = int(restart)
@@ -95,6 +104,15 @@ def gmres(
         # products are exact projections onto the current basis.
         h = basis_dot(V, w)
         w = w - basis_comb(h, V)
+        if reorthogonalize:
+            # CGS2: one reorthogonalization pass restores orthogonality lost
+            # to backend reduction noise (the axon TPU's in-loop f64
+            # reductions carry ~1e-7-relative error, which otherwise stalls
+            # tightly-preconditioned solves); spans the same Krylov space,
+            # so iteration counts in clean arithmetic are unchanged.
+            c = basis_dot(V, w)
+            w = w - basis_comb(c, V)
+            h = h + c
         hj1 = vnorm(w)
         V = V.at[j + 1].set(w / jnp.where(hj1 > 0.0, hj1, 1.0))
         # apply stored Givens rotations to column h (entries 0..j)
