@@ -289,12 +289,24 @@ def _ilu0_factorize_numpy(sys: StructuredSystem, order_lower, mmap, uppers_of) -
 # ---------------------------------------------------------------------------
 
 
-def _padded_levels(sys: StructuredSystem) -> np.ndarray:
+def _padded_levels(sys: StructuredSystem, unroll: int = 1) -> np.ndarray:
+    """Pad the wavefront schedule to (L/unroll, unroll, W): each scan step
+    processes ``unroll`` consecutive levels sequentially in its body,
+    trading per-step loop overhead for a longer (static) body — the scan
+    step cost dominates the device-side sweeps at large N."""
     width = max(len(lv) for lv in sys.levels)
-    out = np.full((len(sys.levels), width), sys.nrows, dtype=np.int32)
+    nlv = len(sys.levels)
+    nsteps = -(-nlv // unroll)
+    out = np.full((nsteps * unroll, width), sys.nrows, dtype=np.int32)
     for i, lv in enumerate(sys.levels):
         out[i, : len(lv)] = lv
-    return out
+    return out.reshape(nsteps, unroll, width)
+
+
+def _wavefront_unroll() -> int:
+    import os
+
+    return max(1, int(os.environ.get("PERPHIL_TPU_WAVEFRONT_UNROLL", "4")))
 
 
 @dataclass(frozen=True)
@@ -325,7 +337,7 @@ class StructuredILU0:
             factors=jnp.asarray(f, dtype=dtype),
             deltas=tuple(int(x) for x in sys.deltas),
             center=sys.center_index,
-            levels=jnp.asarray(_padded_levels(sys)),
+            levels=jnp.asarray(_padded_levels(sys, _wavefront_unroll())),
         )
 
     @classmethod
@@ -338,22 +350,27 @@ class StructuredILU0:
 
     def _sweep(self, rhs: jnp.ndarray, offs: Sequence[int], z0, reverse: bool, scale_diag: bool):
         nrows = rhs.shape[0]
-        levels = self.levels[::-1] if reverse else self.levels
+        # (steps, unroll, width); reverse sweeps flip both step and
+        # intra-step order
+        levels = self.levels[::-1, ::-1] if reverse else self.levels
         zext = jnp.concatenate([z0, jnp.zeros(1, dtype=rhs.dtype)])
         rhs_ext = jnp.concatenate([rhs, jnp.zeros(1, dtype=rhs.dtype)])
         fac = self.factors
         diag = fac[:, self.center]
         diag_ext = jnp.concatenate([diag, jnp.ones(1, dtype=rhs.dtype)])
+        unroll = int(levels.shape[1])
 
-        def step(z, rows):
-            acc = rhs_ext[rows]
-            for t in offs:
-                cols = jnp.clip(rows + self.deltas[t], 0, nrows)
-                v = jnp.where(rows < nrows, fac[jnp.minimum(rows, nrows - 1), t], 0.0)
-                acc = acc - v * z[cols]
-            if scale_diag:
-                acc = acc / diag_ext[rows]
-            z = z.at[rows].set(jnp.where(rows < nrows, acc, z[rows]))
+        def step(z, rows_blk):
+            for u in range(unroll):
+                rows = rows_blk[u]
+                acc = rhs_ext[rows]
+                for t in offs:
+                    cols = jnp.clip(rows + self.deltas[t], 0, nrows)
+                    v = jnp.where(rows < nrows, fac[jnp.minimum(rows, nrows - 1), t], 0.0)
+                    acc = acc - v * z[cols]
+                if scale_diag:
+                    acc = acc / diag_ext[rows]
+                z = z.at[rows].set(jnp.where(rows < nrows, acc, z[rows]))
             return z, None
 
         zout, _ = jax.lax.scan(step, zext, levels)
@@ -397,7 +414,7 @@ class GaussSeidelSweeper:
             vals=jnp.asarray(sys.vals),
             deltas=tuple(int(x) for x in sys.deltas),
             center=sys.center_index,
-            levels=jnp.asarray(_padded_levels(sys)),
+            levels=jnp.asarray(_padded_levels(sys, _wavefront_unroll())),
         )
 
     def sweep(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -410,15 +427,18 @@ class GaussSeidelSweeper:
         diag = vals[:, self.center]
         diag_ext = jnp.concatenate([diag, jnp.ones(1, dtype=x.dtype)])
         offs = tuple(t for t in range(len(self.deltas)) if t != self.center)
+        unroll = int(self.levels.shape[1])
 
-        def step(z, rows):
-            acc = b_ext[rows]
-            for t in offs:
-                cols = jnp.clip(rows + self.deltas[t], 0, nrows)
-                v = jnp.where(rows < nrows, vals[jnp.minimum(rows, nrows - 1), t], 0.0)
-                acc = acc - v * z[cols]
-            acc = acc / diag_ext[rows]
-            z = z.at[rows].set(jnp.where(rows < nrows, acc, z[rows]))
+        def step(z, rows_blk):
+            for u in range(unroll):
+                rows = rows_blk[u]
+                acc = b_ext[rows]
+                for t in offs:
+                    cols = jnp.clip(rows + self.deltas[t], 0, nrows)
+                    v = jnp.where(rows < nrows, vals[jnp.minimum(rows, nrows - 1), t], 0.0)
+                    acc = acc - v * z[cols]
+                acc = acc / diag_ext[rows]
+                z = z.at[rows].set(jnp.where(rows < nrows, acc, z[rows]))
             return z, None
 
         zout, _ = jax.lax.scan(step, xext, self.levels)
