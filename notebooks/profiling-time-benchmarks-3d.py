@@ -36,8 +36,10 @@ APPROACHES = [
 ]
 
 # %%
-rows = run_perf_sweep_3d(SIZES, approaches=APPROACHES, repeats=3, backend="events")
-save_perf_csv(rows, OUT / "petsc_perf_breakdown_3d.csv")
+rows = []
+for n in SIZES:
+    rows.extend(run_perf_sweep_3d([n], approaches=APPROACHES, repeats=3, backend="events"))
+    save_perf_csv(rows, OUT / "petsc_perf_breakdown_3d.csv")  # incremental
 df = pd.DataFrame(rows)
 print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index=False))
 

@@ -46,7 +46,7 @@ for n in SIZES:
             print(f"[perf] nx={n} {ap.value}: skipped (exceeds single-execution limit)")
             continue
         rows.extend(run_perf_sweep([n], approaches=[ap], repeats=5, backend="events"))
-save_perf_csv(rows, OUT / "petsc_perf_breakdown.csv")
+        save_perf_csv(rows, OUT / "petsc_perf_breakdown.csv")  # incremental
 df = pd.DataFrame(rows)
 print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index=False))
 

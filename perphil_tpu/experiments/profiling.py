@@ -189,10 +189,11 @@ class PerfResult:
         return base
 
 
-KSP_CHUNK = 7980  # 266 GMRES(30) cycles: chunk boundaries coincide with
+KSP_CHUNK = 2010  # 67 GMRES(30) cycles: chunk boundaries coincide with
 # restarts, so chunked trajectories are identical to uninterrupted ones.
-# Needed because a single >40k-iteration while_loop execution exceeds the
-# device/relay execution limit (observed fault at 2D nx=256 plain GMRES).
+# Needed because long-running single executions fault/crash the TPU worker
+# (observed at 2D nx=256 plain GMRES with both 42k-it and ~30s-per-chunk
+# programs); ~8 s per execution is reliably under the limit.
 
 
 def build_chunked_plain_solver(W, params, sp_dict, chunk: int = KSP_CHUNK):
@@ -441,10 +442,15 @@ def run_perf_sweep(
     rows: List[Dict[str, Any]] = []
     for n in sizes:
         for ap in approaches:
-            res = run_perf_once(
-                n, n, ap, repeats=repeats, backend=backend,
-                use_manufactured=use_manufactured,
-            )
+            try:
+                res = run_perf_once(
+                    n, n, ap, repeats=repeats, backend=backend,
+                    use_manufactured=use_manufactured,
+                )
+            except Exception as exc:  # keep the sweep alive (device faults
+                # on shared TPUs are environmental, not case-specific)
+                print(f"[perf] nx={n} {ap.value}: FAILED ({type(exc).__name__})")
+                continue
             rows.append(res.to_dict())
             print(f"[perf] nx={n} {ap.value}: "
                   f"its={res.iterations} time_total={res.time_total:.4g}s")

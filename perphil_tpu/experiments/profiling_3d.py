@@ -141,9 +141,13 @@ def run_perf_sweep_3d(
     rows: List[Dict[str, Any]] = []
     for n in sizes:
         for ap in approaches:
-            res = run_perf_once_3d(
-                n, ap, repeats=repeats, backend=backend, hexahedral=hexahedral
-            )
+            try:
+                res = run_perf_once_3d(
+                    n, ap, repeats=repeats, backend=backend, hexahedral=hexahedral
+                )
+            except Exception as exc:
+                print(f"[perf3d] nx={n} {ap.value}: FAILED ({type(exc).__name__})")
+                continue
             rows.append(res.to_dict())
             print(f"[perf3d] nx={n} {ap.value}: "
                   f"its={res.iterations} time_total={res.time_total:.4g}s")
