@@ -68,3 +68,16 @@ def test_cg_grid_shaped():
     b = jnp.ones((5, 5))
     x, its, _ = cg(op, b, rtol=1e-14)
     assert np.allclose(np.asarray(x), 0.25)
+
+
+def test_cgs2_preserves_iteration_counts():
+    """CGS2 (the TPU default) spans the same Krylov space: identical
+    iteration counts in clean (CPU f64) arithmetic."""
+    A = _random_spd(60, seed=7)
+    b = np.random.default_rng(8).standard_normal(60)
+    r1 = gmres(lambda x: jnp.asarray(A) @ x, jnp.asarray(b), rtol=1e-10,
+               reorthogonalize=False)
+    r2 = gmres(lambda x: jnp.asarray(A) @ x, jnp.asarray(b), rtol=1e-10,
+               reorthogonalize=True)
+    assert int(r1.iterations) == int(r2.iterations)
+    assert np.allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-8)
