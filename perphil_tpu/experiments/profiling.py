@@ -211,7 +211,7 @@ def build_chunked_plain_solver(W, params, sp_dict, chunk: int = KSP_CHUNK):
     cont = _build_linear_solver(
         W,
         params,
-        _freeze({**base, "ksp_max_it": chunk, "ksp_initial_guess_nonzero": True}),
+        _freeze({**base, "ksp_max_it": chunk, "_x0_continuation": True}),
     )
     op = DPPOperator(W, params)
     bdry = jnp.asarray(W.mesh.boundary_mask())

@@ -220,7 +220,9 @@ class Function:
         if isinstance(self.space, MixedFunctionSpace):
             raise ValueError("Evaluate sub-functions individually")
         mesh = self.space.mesh
-        pts = jnp.atleast_2d(jnp.asarray(points, dtype=default_dtype()))
+        pts_arr = jnp.asarray(points, dtype=default_dtype())
+        single = pts_arr.ndim == 1
+        pts = jnp.atleast_2d(pts_arr)
         h = jnp.asarray(mesh.h)
         cells = np.asarray(mesh.cells)
         # cell index + local coordinate per dim (coordinate order)
@@ -238,7 +240,7 @@ class Function:
                 idx.append(cell[:, ax] + c)
             # grid arrays index slowest-first: reverse coordinate order
             vals = vals + w * self.data[tuple(reversed(idx))]
-        return vals[0] if jnp.ndim(points) == 1 else vals
+        return vals[0] if single else vals
 
     def copy(self) -> "Function":
         return Function(self.space, self.data, name=self.name)

@@ -97,6 +97,16 @@ def bc_values_per_field(
 # ---------------------------------------------------------------------------
 
 
+def _pallas_matvec_enabled() -> bool:
+    import os
+
+    if os.environ.get("PERPHIL_TPU_PALLAS_MATVEC", "0") != "1":
+        return False
+    from perphil_tpu.ops.pallas_kernels import pallas_available
+
+    return pallas_available()
+
+
 def _masks(mesh: StructuredMesh, padding: Tuple[int, ...] = ()):
     # kept as numpy: these are cached on operator instances that outlive any
     # single jit trace — jnp constants created inside a trace would leak
@@ -162,13 +172,30 @@ class DPPOperator:
     def _mask_arrays(self):
         return _masks(self.mesh, self.padding)
 
+    @cached_property
+    def _combined_stencils(self):
+        K_st, M_st = self._stencils
+        p = self.params
+        S1 = np.asarray((p.k1 / p.mu) * K_st + (p.beta / p.mu) * M_st)
+        S2 = np.asarray((p.k2 / p.mu) * K_st + (p.beta / p.mu) * M_st)
+        C = np.asarray(-(p.beta / p.mu) * M_st)
+        return S1, S2, C
+
     def matvec(self, z1: jnp.ndarray, z2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Apply the BC-eliminated operator to grid-shaped fields."""
-        K_st, M_st = self._stencils
         p = self.params
         bdry, interior = self._mask_arrays
         z1i = jnp.where(interior, z1, 0.0)
         z2i = jnp.where(interior, z2, 0.0)
+        if z1.dtype == jnp.float32 and _pallas_matvec_enabled():
+            # opt-in fused single-VMEM-pass kernel (f32 only; Mosaic has
+            # no f64) — set PERPHIL_TPU_PALLAS_MATVEC=1
+            from perphil_tpu.ops.pallas_kernels import fused_dpp_apply
+
+            S1, S2, C = self._combined_stencils
+            y1, y2 = fused_dpp_apply(z1i, z2i, S1, S2, C)
+            return jnp.where(bdry, z1, y1), jnp.where(bdry, z2, y2)
+        K_st, M_st = self._stencils
         Kz1 = apply_stencil(z1i, K_st)
         Kz2 = apply_stencil(z2i, K_st)
         Md = apply_stencil(z1i - z2i, M_st)

@@ -8,9 +8,11 @@ the reference delegates to generated PyOP2 C kernels plus PETSc MatAssembly
 row of a representative interior vertex from element matrices.
 
 ``apply_stencil`` is the device-side operator application: a 3^d-point
-shifted-add over a padded grid. XLA fuses it into a single bandwidth-bound
-pass; a Pallas kernel provides the tuned fast path for the hot 2-field DPP
-matvec (see ``perphil_tpu.ops.pallas_kernels``).
+shifted-add over a padded grid, which XLA fuses into a single
+bandwidth-bound pass (measured on par with the hand-written kernel). A
+fused Pallas kernel for the 2-field DPP matvec exists as an opt-in
+alternative (``perphil_tpu.ops.pallas_kernels``, f32,
+``PERPHIL_TPU_PALLAS_MATVEC=1``).
 
 Axis convention: stencil arrays are indexed ``[dz+1, dy+1, dx+1]`` (slowest
 axis first), matching grid arrays ``u[k, j, i]``.

@@ -36,6 +36,11 @@ def clear_options(prefix: str | None = None) -> None:
 
 
 def _coerce(v: str):
+    low = v.lower()
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
     for cast in (int, float):
         try:
             return cast(v)

@@ -86,7 +86,7 @@ def _flatten_options(sp: Dict, prefix: str = "") -> Dict[str, object]:
 
 def _freeze(sp: Dict) -> Tuple:
     flat = _flatten_options(sp)
-    return tuple(sorted((k, v) for k, v in flat.items() if v is not None or True))
+    return tuple(sorted(flat.items()))
 
 
 def _sub_options(flat: Dict[str, object], prefix: str) -> Dict[str, object]:
@@ -153,7 +153,7 @@ def _field_pc(fop: FieldOperator, pc_type: str, flat: Dict) -> Optional[Callable
     if pc_type == "jacobi":
         center = (1,) * fop.mesh.dim
         dc = float(np.asarray(fop.stencil)[center])
-        bdry = jnp.asarray(fop.mesh.boundary_mask())
+        bdry = jnp.asarray(fop._mask_arrays[0])  # padded-aware mask
         dinv = jnp.where(bdry, 1.0, 1.0 / dc)
         return lambda r: dinv * r
     if pc_type in ("lu", "cholesky"):
@@ -162,7 +162,15 @@ def _field_pc(fop: FieldOperator, pc_type: str, flat: Dict) -> Optional[Callable
         from perphil_tpu.ops.ilu import StructuredILU0
 
         ilu = StructuredILU0.for_field(fop)
-        return ilu.apply_grid
+        if not any(fop.padding):
+            return ilu.apply_grid
+        # ILU runs on the unpadded system; phantom rows are identity
+        crop = tuple(slice(0, n) for n in fop.mesh.node_shape)
+
+        def apply_ilu_padded(r):
+            return r.at[crop].set(ilu.apply_grid(r[crop]))
+
+        return apply_ilu_padded
     raise ValueError(f"Unsupported block pc_type: {pc_type!r}")
 
 
@@ -394,7 +402,14 @@ def _build_linear_solver(
     mv = op.stacked_matvec()
 
     bdry = jnp.asarray(op._mask_arrays[0])
-    with_guess = bool(flat.get("ksp_initial_guess_nonzero", False))
+    # PETSc's ksp_initial_guess_nonzero means "start from the current
+    # solution values" — with Firedrake's zero-initialized, BC-applied
+    # solution Function that is exactly the BC-lift start our default
+    # Newton-step formulation already uses, so the public option is an
+    # accepted no-op. The internal "_x0_continuation" key (set by
+    # build_chunked_plain_solver) selects the 5-argument continuation
+    # variant that takes an explicit iterate + absolute tolerance.
+    with_guess = bool(flat.get("_x0_continuation", False))
 
     def _solve_from(x01, x02, b1, b2, rtol_, atol_):
         r1, r2 = op.residual(x01, x02, b1, b2)

@@ -29,9 +29,15 @@ def _mesh_meta(mesh: StructuredMesh) -> Dict:
     }
 
 
+def _npz_path(path: Union[str, Path]) -> Path:
+    """np.savez appends '.npz' to bare names; normalize so save/load agree."""
+    p = Path(path)
+    return p if p.suffix == ".npz" else p.with_suffix(p.suffix + ".npz")
+
+
 def save_function(path: Union[str, Path], f: Function) -> None:
     """Save a (possibly mixed-space) Function with its mesh metadata."""
-    path = Path(path)
+    path = _npz_path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     space = f.space
     if isinstance(space, MixedFunctionSpace):
@@ -50,7 +56,7 @@ def save_function(path: Union[str, Path], f: Function) -> None:
 
 def load_function(path: Union[str, Path]) -> Function:
     """Load a Function; reconstructs mesh and space from metadata."""
-    with np.load(Path(path), allow_pickle=False) as data:
+    with np.load(_npz_path(path), allow_pickle=False) as data:
         meta = json.loads(str(data["__meta__"]))
         mesh = StructuredMesh(
             cells=tuple(meta["mesh"]["cells"]),

@@ -105,3 +105,42 @@ def test_padded_mixed_direct_matches():
     for zp, zr in zip((z1, z2), ref.solution.data):
         scale = np.abs(np.asarray(zr)).max()
         assert np.abs(np.asarray(zp[crop]) - np.asarray(zr)).max() / scale < 1e-9
+
+
+@pytest.mark.parametrize("block_pc", ["jacobi", "ilu"])
+def test_padded_fieldsplit_block_pcs(block_pc):
+    """Fieldsplit with jacobi/ilu block PCs must work (and match the
+    unpadded result) under phantom padding — the sharded-path default."""
+    mesh, W, params, bcs = _problem(9)
+    cfg = {
+        **sp.GMRES_PARAMS,
+        "pc_type": "fieldsplit",
+        "pc_fieldsplit_type": "multiplicative",
+        "fieldsplit_0": {"ksp_type": "preonly", "pc_type": block_pc},
+        "fieldsplit_1": {"ksp_type": "preonly", "pc_type": block_pc},
+    }
+    ref = solve_dpp(W, params, bcs, solver_parameters=cfg)
+    from perphil_tpu.ops.assembly import bc_values_per_field
+
+    g1, g2 = bc_values_per_field(W, bcs)
+    pad = (2, 6)
+    pads = [(0, p) for p in pad]
+    solver = _build_linear_solver(W, params, _freeze(cfg), pad)
+    z1, z2, its, _ = solver(jnp.pad(g1, pads), jnp.pad(g2, pads))
+    assert int(its) == ref.iteration_number
+    crop = tuple(slice(0, n) for n in mesh.node_shape)
+    for zp, zr in zip((z1, z2), ref.solution.data):
+        scale = np.abs(np.asarray(zr)).max()
+        assert np.abs(np.asarray(zp[crop]) - np.asarray(zr)).max() / scale < 1e-8
+
+
+def test_public_initial_guess_option_is_noop():
+    """PETSc's ksp_initial_guess_nonzero is accepted (no-op: our default
+    already starts from the BC-lift guess, like Firedrake)."""
+    mesh, W, params, bcs = _problem(8)
+    ref = solve_dpp(W, params, bcs, solver_parameters=sp.PLAIN_GMRES_PARAMS)
+    got = solve_dpp(
+        W, params, bcs,
+        solver_parameters={**sp.PLAIN_GMRES_PARAMS, "ksp_initial_guess_nonzero": True},
+    )
+    assert got.iteration_number == ref.iteration_number
