@@ -233,6 +233,45 @@ def build_chunked_plain_solver(W, params, sp_dict, chunk: int = KSP_CHUNK):
     return solve
 
 
+NGS_CHUNK = 500  # pointwise-GS sweeps per device execution (Picard runs at
+# N=128 need ~5k sweeps — one while_loop would exceed the execution limit)
+
+
+def build_chunked_ngs_solver(W, params, sp_dict, chunk: int = NGS_CHUNK):
+    """Chunked pointwise-GS Picard driver (exact continuation: sweeps are
+    memoryless given the iterate, so chunking is bit-equivalent)."""
+    import jax.numpy as jnp
+
+    base = dict(sp_dict)
+    rtol = float(base.get("snes_rtol", 1e-8))
+    atol = float(base.get("snes_atol", 1e-50))
+    max_total = int(base.get("snes_max_it", 50))
+    first = _build_nonlinear_solver(
+        W, params, _freeze({**base, "snes_max_it": min(chunk, max_total)})
+    )
+    cont = _build_nonlinear_solver(
+        W, params, _freeze({**base, "snes_max_it": chunk, "_x0_continuation": True})
+    )
+    op = DPPOperator(W, params)
+    bdry = jnp.asarray(W.mesh.boundary_mask())
+
+    def solve(g1, g2):
+        b1, b2 = op.lifted_rhs(g1, g2)
+        x01 = jnp.where(bdry, g1, 0.0)
+        x02 = jnp.where(bdry, g2, 0.0)
+        r1, r2 = op.residual(x01, x02, b1, b2)
+        f0n = float(jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2)).real)
+        tol = max(rtol * f0n, atol)
+        z1, z2, its, fn = first(g1, g2)
+        total = int(its)
+        while float(fn) > tol and total < max_total:
+            z1, z2, its, fn = cont(g1, g2, z1, z2, tol)
+            total += int(its)
+        return z1, z2, total, fn
+
+    return solve
+
+
 def _block(x):
     """Wait for device completion. ``block_until_ready`` alone is not enough
     on relayed backends (the axon TPU tunnel acks before execution
@@ -332,7 +371,9 @@ def run_perf_once(
     # PCSetUp / MatAssembly: solver construction (stencil compilation, ILU
     # factorization, fast-diag eigendecomposition) + XLA compile
     t0 = time.perf_counter()
-    if approach == Approach.PICARD_MUMPS:
+    if approach == Approach.PICARD_MUMPS and W.dim() > 20000:
+        solver = build_chunked_ngs_solver(W, params, sp_dict)
+    elif approach == Approach.PICARD_MUMPS:
         solver = _build_nonlinear_solver(W, params, _freeze(sp_dict))
     elif approach == Approach.PLAIN_GMRES and W.dim() > 60000:
         # very long unpreconditioned runs exceed the single-execution limit;

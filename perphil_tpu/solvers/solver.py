@@ -539,6 +539,31 @@ def _build_nonlinear_solver(
         mv = op.flat_matvec()
         shape = mesh.node_shape
         n = int(np.prod(shape))
+        with_guess = bool(flat.get("_x0_continuation", False))
+
+        def _ngs_from(x, b, tol, budget):
+            def cond(state):
+                x, its, fn = state
+                return (fn > tol) & (its < budget)
+
+            def body(state):
+                x, its, fn = state
+                x = sweeper.sweep(x, b)
+                return x, its + 1, jnp.linalg.norm(b - mv(x))
+
+            f0 = jnp.linalg.norm(b - mv(x))
+            return jax.lax.while_loop(cond, body, (x, jnp.asarray(0), f0))
+
+        if with_guess:
+            # continuation variant for chunking very long sweep runs
+            def solve_ngs_x0(g1, g2, x01, x02, atol_abs):
+                b1, b2 = op.lifted_rhs(g1, g2)
+                b = jnp.concatenate([b1.ravel(), b2.ravel()])
+                x = jnp.concatenate([x01.ravel(), x02.ravel()])
+                x, its, fn = _ngs_from(x, b, atol_abs, max_it)
+                return x[:n].reshape(shape), x[n:].reshape(shape), its, fn
+
+            return jax.jit(solve_ngs_x0)
 
         def solve_pointwise_ngs(g1, g2):
             b1, b2 = op.lifted_rhs(g1, g2)
@@ -549,17 +574,7 @@ def _build_nonlinear_solver(
             )
             f0n = jnp.linalg.norm(b - mv(x))
             tol = jnp.maximum(rtol * f0n, atol)
-
-            def cond(state):
-                x, its, fn = state
-                return (fn > tol) & (its < max_it)
-
-            def body(state):
-                x, its, fn = state
-                x = sweeper.sweep(x, b)
-                return x, its + 1, jnp.linalg.norm(b - mv(x))
-
-            x, its, fn = jax.lax.while_loop(cond, body, (x, jnp.asarray(0), f0n))
+            x, its, fn = _ngs_from(x, b, tol, max_it)
             return x[:n].reshape(shape), x[n:].reshape(shape), its, fn
 
         return jax.jit(solve_pointwise_ngs)
