@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-DEFAULT_DTOL = 1.0e5
+# PETSc's KSPConvergedDefault divergence tolerance (divtol) default.
+DEFAULT_DTOL = 1.0e4
 
 Array = jnp.ndarray
 Op = Callable[[Array], Array]

@@ -22,12 +22,11 @@ import numpy as np
 
 from perphil_tpu.forms.spaces import Function, FunctionSpace
 from perphil_tpu.mesh.structured import StructuredMesh
-from perphil_tpu.utils.quadrature import QPoint, cell_quadrature
-
-# Matches UFL's quadrature-degree estimate for the squared-error integrands
-# of the manufactured solutions: degree 14 reproduces the reference CSV
-# errors to all printed digits (verified against convergence.csv N=4).
-DEFAULT_QUADRATURE_DEGREE = 14
+from perphil_tpu.utils.quadrature import (
+    DEFAULT_QUADRATURE_DEGREE,
+    QPoint,
+    cell_quadrature,
+)
 
 
 def split_dpp_solution(dpp_solution: Function) -> Tuple[Function, Function]:

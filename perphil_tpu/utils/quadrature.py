@@ -2,10 +2,11 @@
 
 Replaces Firedrake's assembly of error integrands
 (``fd.assemble(inner(diff, diff) * dx)`` at
-``/root/reference/src/perphil/utils/postprocessing.py:89-124``). UFL estimates
-a quadrature degree for the non-polynomial manufactured solutions (degree 12
-for the squared-error integrands); we default to the same degree so L2/H1
-error values match the committed reference CSVs digit-for-digit.
+``/root/reference/src/perphil/utils/postprocessing.py:89-124``). Degree 14
+rules reproduce the committed reference CSVs digit-for-digit for the
+non-polynomial manufactured-solution error integrands (this is
+parity-critical — see ``DEFAULT_QUADRATURE_DEGREE``, shared with
+``utils/postprocessing.py``).
 
 All rule construction happens host-side in numpy; the jitted error kernels
 receive static (weight, point, basis) tables and reduce over them.
@@ -167,7 +168,15 @@ def _duffy(u: np.ndarray) -> Tuple[np.ndarray, float]:
     return lam, jac
 
 
-def cell_quadrature(mesh: StructuredMesh, degree: int = 12) -> Tuple[QPoint, ...]:
+#: Default quadrature degree for error norms. Degree 14 is what reproduces
+#: the reference's committed CSV errors digit-for-digit (parity-critical);
+#: ``utils/postprocessing.py`` re-exports this constant.
+DEFAULT_QUADRATURE_DEGREE = 14
+
+
+def cell_quadrature(
+    mesh: StructuredMesh, degree: int = DEFAULT_QUADRATURE_DEGREE
+) -> Tuple[QPoint, ...]:
     """Quadrature table for one grid cell of the mesh (cached)."""
     return _cell_quadrature_cached(
         mesh.cells, mesh.element, mesh.diagonal, mesh.extent, degree
