@@ -1,0 +1,276 @@
+"""Parallel-prefix (scan-tree) exact triangular solves on structured grids.
+
+TPU-native replacement for the sequential sparse triangular solves inside
+PETSc's ILU(0) preconditioner application and Gauss-Seidel sweeps
+(``MatSolve`` on factored AIJ matrices; reference usage via
+``pc_type: ilu`` at ``/root/reference/src/perphil/solvers/parameters.py:27``
+and ``snes_type: ngs`` at ``parameters.py:71-77``).
+
+Why not a wavefront: level-scheduled sweeps (``ops/ilu.py``) take one tiny
+gather/scatter step per level — thousands of latency-bound device steps per
+solve (measured ~144 ms per monolithic apply at 2D N=256). Here the same
+recurrences are solved *exactly* in O(log n) stages of batched matrix-vector
+products — MXU/VPU-friendly, bandwidth-bound work.
+
+The key identity: a lower-triangular solve on a structured grid in
+lexicographic order is a linear recurrence
+
+    2D:  x[y] = T_y (c[y] + B_y x[y-1])        (rows y; T_y = within-row
+                                                bidiagonal inverse, B_y the
+                                                three cross-row couplings)
+    3D:  x[z] = T_z (c[z] + B_z x[z-1])        (planes z; T_z = within-plane
+                                                2D solve, B_z the nine
+                                                cross-plane couplings)
+
+i.e. a first-order *affine* recurrence  x_t = M_t x_{t-1} + g_t  whose maps
+``M_t = T_t B_t`` are data-independent (fixed per factorization). Affine maps
+compose associatively::
+
+    (M2, g2) o (M1, g1) = (M2 M1, M2 g1 + g2)
+
+so all x_t follow from a parallel prefix scan. The matrix parts of every
+tree node are precomputed once at factorization time; each solve performs
+only ~2n batched matrix-vector products in ~2 log2(n) dependent stages.
+
+Within a row (1D recurrence), maps are scalars and the same tree runs as
+pure vector arithmetic (``ScalarChainScan``). In 3D the plane maps are dense
+(ny*nx)^2 matrices built by applying the batched 2D solver to the sparse
+cross-plane couplings — a one-time MXU job.
+
+All matrix products/matvecs run with ``precision=HIGHEST`` (TPU f32 matmuls
+otherwise default to bf16, which would destroy the exactness this module
+exists to provide).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _matmat(a, b):
+    # (k, *B, i, j) @ (k, *B, j, l) -> (k, *B, i, l)
+    return jnp.einsum("...ij,...jl->...il", a, b, precision=_PREC)
+
+
+def _matvec(a, v):
+    # (k, *B, i, j) @ (k, *B, j) -> (k, *B, i)
+    return jnp.einsum("...ij,...j->...i", a, v, precision=_PREC)
+
+
+def _interleave(even: jnp.ndarray, odd: jnp.ndarray) -> jnp.ndarray:
+    """Interleave along axis 0: [e0, o0, e1, o1, ...]."""
+    k = even.shape[0]
+    stacked = jnp.stack([even, odd], axis=1)  # (k, 2, ...)
+    return stacked.reshape((2 * k,) + even.shape[1:])
+
+
+class AffineChainScan:
+    """Exact solver for ``x_t = M_t x_{t-1} + g_t`` (t = 0..n-1, x_{-1} = 0).
+
+    :param M: ``(n, *batch, m, m)`` maps (``M[0]`` is forced to zero — row 0
+        has no predecessor). For scalar chains pass ``(n, *batch)`` with
+        ``scalar=True``.
+
+    Precomputation (`__init__`): a work-efficient scan tree. At each level,
+    adjacent elements pair up; an odd element at the end is carried to the
+    next level unpaired. Stored per level: the even elements' segment maps
+    (needed by the down-sweep) and the odd elements' segment maps (needed by
+    both sweeps) — ~2n maps total.
+
+    ``apply(g)``: per-solve vector work only; ~2 log2(n) dependent stages of
+    batched matvecs (or elementwise multiplies for scalar chains).
+    """
+
+    def __init__(self, M: jnp.ndarray, scalar: bool = False):
+        self.scalar = bool(scalar)
+        self.n = int(M.shape[0])
+        zero0 = jnp.zeros_like(M[:1])
+        S = jnp.concatenate([zero0, M[1:]], axis=0) if self.n > 1 else zero0
+        mul = (lambda a, b: a * b) if self.scalar else _matmat
+        self.levels: List[Tuple[jnp.ndarray, jnp.ndarray, bool]] = []
+        while S.shape[0] > 1:
+            k = int(S.shape[0]) // 2
+            odd_tail = (int(S.shape[0]) % 2) == 1
+            S_even = S[0 : 2 * k : 2]
+            S_odd = S[1 : 2 * k : 2]
+            self.levels.append((S_even, S_odd, odd_tail))
+            S_next = mul(S_odd, S_even)
+            if odd_tail:
+                S_next = jnp.concatenate([S_next, S[-1:]], axis=0)
+            S = S_next
+
+    def apply(self, g: jnp.ndarray) -> jnp.ndarray:
+        """All prefix states: returns ``x`` with ``x[t]`` the recurrence
+        solution at step t. ``g``: ``(n, *batch, m)`` (or ``(n, *batch)``
+        scalar)."""
+        mv = (lambda a, v: a * v) if self.scalar else _matvec
+        # up-sweep: combine pairs; keep each level's input for the down-sweep
+        saved: List[jnp.ndarray] = []
+        v = g
+        for S_even, S_odd, odd_tail in self.levels:
+            k = S_even.shape[0]
+            v_even = v[0 : 2 * k : 2]
+            v_odd = v[1 : 2 * k : 2]
+            saved.append(v)
+            v_pair = mv(S_odd, v_even) + v_odd
+            if odd_tail:
+                v_pair = jnp.concatenate([v_pair, v[-1:]], axis=0)
+            v = v_pair
+        # v now holds the single-element inclusive scan
+        y = v
+        # down-sweep: expand coarse inclusive results back to fine positions
+        for (S_even, S_odd, odd_tail), v_orig in zip(
+            reversed(self.levels), reversed(saved)
+        ):
+            k = S_even.shape[0]
+            y_odd = y[:k]  # inclusive results at fine odd positions
+            # even positions: x_{2i} = S_{2i} x_{2i-1} + v_{2i}; i=0 has no
+            # predecessor (S[0] is zero anyway, but skip the matvec)
+            if k > 1:
+                y_even_rest = mv(S_even[1:], y_odd[:-1]) + v_orig[2 : 2 * k : 2]
+                y_even = jnp.concatenate([v_orig[0:1], y_even_rest], axis=0)
+            else:
+                y_even = v_orig[0:1]
+            y_fine = _interleave(y_even, y_odd)
+            if odd_tail:
+                y_fine = jnp.concatenate([y_fine, y[k : k + 1]], axis=0)
+            y = y_fine
+        return y
+
+
+class GridTriSolve2D:
+    """Exact lower-triangular solve of the 2D grid recurrence
+
+        x[y,i] = c[y,i] + wr[y,i] x[y,i-1]
+               + bm[y,i] x[y-1,i-1] + b0[y,i] x[y-1,i] + bp[y,i] x[y-1,i+1]
+
+    (out-of-range terms zero; callers encode upper solves by flipping axes
+    and pre-dividing by the diagonal). Coefficients may carry leading batch
+    axes: shapes ``(*batch, ny, nx)``.
+
+    Per-row maps ``M_y = T_y B_y`` (``T_y`` the unit-bidiagonal inverse) are
+    densified once; solves run the scalar tree within rows and the affine
+    tree across rows.
+    """
+
+    def __init__(self, wr: jnp.ndarray, bm: jnp.ndarray, b0: jnp.ndarray, bp: jnp.ndarray):
+        wr = jnp.asarray(wr)
+        self.batch = wr.shape[:-2]
+        ny, nx = int(wr.shape[-2]), int(wr.shape[-1])
+        self.ny, self.nx = ny, nx
+        dtype = wr.dtype
+
+        # within-row scalar chain over x, batched over (*batch, y):
+        # element axis first -> (nx, *batch, ny)
+        wr_x_first = jnp.moveaxis(wr, -1, 0)
+        self.row_scan = AffineChainScan(wr_x_first, scalar=True)
+
+        # dense B_y: (*batch, ny, nx, nx); B[..., y, i, i+d] = b_d[..., y, i]
+        i = np.arange(nx)
+        B = jnp.zeros(self.batch + (ny, nx, nx), dtype=dtype)
+        B = B.at[..., i[1:], i[1:] - 1].set(bm[..., 1:])
+        B = B.at[..., i, i].set(b0)
+        B = B.at[..., i[:-1], i[:-1] + 1].set(bp[..., :-1])
+        # T_y B_y: solve (I - diag(wr,-1)) M = B, unit lower bidiagonal
+        L = jnp.zeros(self.batch + (ny, nx, nx), dtype=dtype)
+        L = L.at[..., i, i].set(1.0)
+        L = L.at[..., i[1:], i[1:] - 1].set(-wr[..., 1:])
+        M = jax.scipy.linalg.solve_triangular(L, B, lower=True, unit_diagonal=True)
+        # element axis (y) first for the chain: (ny, *batch, nx, nx)
+        M = jnp.moveaxis(M, len(self.batch), 0)
+        self.chain = AffineChainScan(M)
+
+    def row_solve(self, c: jnp.ndarray) -> jnp.ndarray:
+        """Solve the within-row bidiagonal systems only: (I - L_y) g = c."""
+        c_x_first = jnp.moveaxis(c, -1, 0)  # (nx, *batch, ny)
+        g = self.row_scan.apply(c_x_first)
+        return jnp.moveaxis(g, 0, -1)
+
+    def apply(self, c: jnp.ndarray) -> jnp.ndarray:
+        """Solve for ``x`` given ``c`` of shape ``(*batch, ny, nx)``."""
+        g = self.row_solve(c)
+        g_y_first = jnp.moveaxis(g, -2, 0)  # (ny, *batch, nx)
+        x = self.chain.apply(g_y_first)
+        return jnp.moveaxis(x, 0, -2)
+
+
+# offsets (dx, dy) of a dense 3x3 cross-row coupling, coordinate-ordered
+_CROSS3 = (-1, 0, 1)
+
+
+class GridTriSolve3D:
+    """Exact lower-triangular solve of the 3D grid recurrence over planes:
+
+        x[z] = plane_solve_z( c[z] + sum_{dx,dy} bz[dy,dx][z] * shift(x[z-1]) )
+
+    ``plane2d`` is a z-batched :class:`GridTriSolve2D` (the within-plane
+    lower structure); ``bz`` maps coordinate-ordered offsets (dx, dy) ->
+    coefficient grids ``(nz, ny, nx)`` for the nine cross-plane couplings.
+
+    Plane maps ``M_z = T_z B_z`` are densified (``(nz, ny*nx, ny*nx)``) by
+    applying the batched 2D solver to the sparse cross-plane couplings —
+    a one-time batched-MXU job — then the affine tree runs over planes.
+    """
+
+    def __init__(self, plane2d: GridTriSolve2D, bz: dict):
+        self.plane2d = plane2d
+        nz = int(plane2d.batch[-1]) if plane2d.batch else 1
+        ny, nx = plane2d.ny, plane2d.nx
+        self.nz, self.ny, self.nx = nz, ny, nx
+        m2 = ny * nx
+        some = next(iter(bz.values()))
+        dtype = some.dtype
+
+        # dense cross-plane coupling B_z: (nz, m2, m2)
+        yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+        rows = (yy * nx + xx).ravel()
+        B = jnp.zeros((nz, m2, m2), dtype=dtype)
+        for (dx, dy), w in bz.items():
+            oy, ox = yy + dy, xx + dx
+            valid = (oy >= 0) & (oy < ny) & (ox >= 0) & (ox < nx)
+            cols = (np.clip(oy, 0, ny - 1) * nx + np.clip(ox, 0, nx - 1)).ravel()
+            vmask = jnp.asarray(valid.ravel())
+            wflat = w.reshape(nz, m2) * vmask
+            B = B.at[:, rows, cols].add(wflat)
+
+        # M_z = T_z B_z: batched 2D solves over (z, column). Columns of B_z
+        # are plane-shaped vectors over the ROW index, so transpose first.
+        Bcols = jnp.swapaxes(B, 1, 2).reshape(nz, m2, ny, nx)  # [z, col] -> plane
+        Bcols = jnp.swapaxes(Bcols, 0, 1)  # (m2, nz, ny, nx)
+        # plane2d has batch (nz,); vmap adds the leading column axis
+        Mcols = jax.vmap(self.plane2d.apply)(Bcols)  # [col, z] -> T_z B_z e_col
+        M = jnp.transpose(Mcols.reshape(m2, nz, m2), (1, 2, 0))  # (nz, row, col)
+        self.chain = AffineChainScan(M)
+
+    def apply(self, c: jnp.ndarray) -> jnp.ndarray:
+        """Solve for ``x`` given ``c`` of shape ``(nz, ny, nx)``."""
+        g = self.plane2d.apply(c)  # (nz, ny, nx)
+        x = self.chain.apply(g.reshape(self.nz, self.ny * self.nx))
+        return x.reshape(self.nz, self.ny, self.nx)
+
+
+def apply_varcoef_stencil(x: jnp.ndarray, coeffs: dict) -> jnp.ndarray:
+    """Apply a variable-coefficient stencil: ``y = sum_o w_o * shift(x, o)``.
+
+    :param coeffs: maps coordinate-ordered offsets ``(dx, dy[, dz])`` to
+        weight grids shaped like ``x`` (slowest-first axes). Out-of-range
+        shifts contribute zero. Weights must already be zero where the
+        offset leaves the grid (guaranteed for factor arrays built by
+        ``ops/ilu._build_system`` via its ``valid`` mask).
+    """
+    d = x.ndim
+    xp = jnp.pad(x, 1)
+    shape = x.shape
+    acc = jnp.zeros_like(x)
+    for off, w in coeffs.items():
+        # offset is coordinate-ordered (dx, dy, dz); axes are slowest-first
+        rev = tuple(int(o) for o in reversed(off))
+        slices = tuple(slice(1 + o, 1 + o + s) for o, s in zip(rev, shape))
+        acc = acc + w * xp[slices]
+    return acc
