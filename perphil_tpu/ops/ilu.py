@@ -285,6 +285,288 @@ def _ilu0_factorize_numpy(sys: StructuredSystem, order_lower, mmap, uppers_of) -
 
 
 # ---------------------------------------------------------------------------
+# parallel-prefix (scan-tree) triangular applications — the fast path
+# ---------------------------------------------------------------------------
+
+
+def _trisolve_backend() -> str:
+    import os
+
+    return os.environ.get("PERPHIL_TPU_TRISOLVE", "partri")
+
+
+# Dense plane maps in 3D cost ~2 * nz * (ny*nx)^2 floats per directional
+# solver; cap total device bytes (all solvers of one PC) before falling back
+# to the wavefront path. 6 GiB covers the largest published 3D ILU case
+# (nx=40 monolithic: ~3.7 GiB) with headroom on a 16 GiB v5e.
+_PARTRI_MAX_BYTES = 6 * 1024**3
+
+
+def _partri_fits(sys: StructuredSystem, itemsize: int) -> bool:
+    if sys.mesh.dim == 2:
+        ny, nx = sys.mesh.node_shape
+        per = 2 * ny * nx * nx * itemsize
+    else:
+        nz, ny, nx = sys.mesh.node_shape
+        per = 2 * nz * (ny * nx) ** 2 * itemsize
+    return 2 * sys.nfields * per <= _PARTRI_MAX_BYTES
+
+
+def _grid_entries(sys: StructuredSystem, values: np.ndarray, f: int, bd: int, dtype):
+    """Per-offset entry grids of one (row-field, block) pair.
+
+    Returns {coordinate-ordered geom offset: (node_shape) jnp grid}.
+    """
+    n = sys.n_nodes
+    shape = sys.mesh.node_shape
+    key = {
+        (int(b), tuple(int(x) for x in g)): t
+        for t, (b, g) in enumerate(zip(sys.blocks, sys.geoms))
+    }
+    out = {}
+    for g in _geom_offsets(sys.mesh.dim):
+        t = key.get((bd, g))
+        if t is None:
+            continue
+        col = values[f * n : (f + 1) * n, t]
+        out[g] = jnp.asarray(col.reshape(shape), dtype=dtype)
+    return out
+
+
+def _flip_all(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.flip(a, axis=tuple(range(a.ndim)))
+
+
+class DirTriSolve:
+    """Directional triangular solve ``(D? + A) x = r`` on one field's grid.
+
+    ``entries`` maps coordinate-ordered geometric offsets (the strictly
+    lower/upper part) to raw matrix-entry grids; ``diag`` is the diagonal
+    grid (None = unit). ``reverse=True`` solves in anti-lexicographic order
+    (upper solves) by flipping every axis. Pytree-registered so it can be
+    built under jit and passed as a compiled-solver argument.
+    """
+
+    def __init__(self, dim: int, entries: dict, diag, reverse: bool):
+        from perphil_tpu.ops.partri import GridTriSolve2D, GridTriSolve3D
+
+        self.reverse = bool(reverse)
+        if reverse:
+            entries = {
+                tuple(-int(o) for o in g): _flip_all(w) for g, w in entries.items()
+            }
+            diag = _flip_all(diag) if diag is not None else None
+        self.diag = diag
+
+        def nrm(g: Tuple[int, ...]) -> jnp.ndarray:
+            w = -entries[g]
+            return w / diag if diag is not None else w
+
+        if dim == 2:
+            self.solver = GridTriSolve2D(
+                nrm((-1, 0)), nrm((-1, -1)), nrm((0, -1)), nrm((1, -1))
+            )
+        else:
+            plane = GridTriSolve2D(
+                nrm((-1, 0, 0)), nrm((-1, -1, 0)), nrm((0, -1, 0)), nrm((1, -1, 0))
+            )
+            bz = {
+                (dx, dy): nrm((dx, dy, -1)) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            }
+            self.solver = GridTriSolve3D(plane, bz)
+
+    def tree_flatten(self):
+        return (self.solver, self.diag), (self.reverse,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.solver, obj.diag = children
+        (obj.reverse,) = aux
+        return obj
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        if self.reverse:
+            r = _flip_all(r)
+        c = r / self.diag if self.diag is not None else r
+        x = self.solver.apply(c)
+        if self.reverse:
+            x = _flip_all(x)
+        return x
+
+
+class PartriILU:
+    """ILU(0) application ``z = U^{-1} L^{-1} r`` via parallel-prefix
+    triangular solves (field-major natural ordering; see ``ops/partri``).
+
+    For the monolithic 2-field system the lower factor visits all field-0
+    rows before field-1 rows, so L^{-1} = (field-0 grid solve) then
+    (field-1 grid solve with the cross-block contribution subtracted);
+    U^{-1} mirrors this bottom-up.
+
+    Pytree-registered; build with :func:`build_partri_ilu` (single compiled
+    setup program).
+    """
+
+    def __init__(self, sys: StructuredSystem, factors, dtype):
+        mesh = sys.mesh
+        d = mesh.dim
+        self.nfields = sys.nfields
+        self.shape = mesh.node_shape
+        self.n = sys.n_nodes
+        center = (0,) * d
+
+        self.lower_solve = []
+        self.upper_solve = []
+        for f in range(sys.nfields):
+            ent = _grid_entries(sys, factors, f, 0, dtype)
+            diag = ent[center]
+            low = {g: w for g, w in ent.items() if _is_lower_geom(g, self.shape)}
+            upp = {
+                g: w
+                for g, w in ent.items()
+                if not _is_lower_geom(g, self.shape) and g != center
+            }
+            self.lower_solve.append(DirTriSolve(d, low, None, reverse=False))
+            self.upper_solve.append(DirTriSolve(d, upp, diag, reverse=True))
+        self.cross_lower = None
+        self.cross_upper = None
+        if sys.nfields == 2:
+            self.cross_lower = _grid_entries(sys, factors, 1, -1, dtype)  # f1 rows
+            self.cross_upper = _grid_entries(sys, factors, 0, +1, dtype)  # f0 rows
+
+    def tree_flatten(self):
+        children = (self.lower_solve, self.upper_solve, self.cross_lower, self.cross_upper)
+        return children, (self.nfields, self.shape, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.lower_solve, obj.upper_solve, obj.cross_lower, obj.cross_upper = children
+        obj.nfields, obj.shape, obj.n = aux
+        return obj
+
+    def apply_flat(self, r: jnp.ndarray) -> jnp.ndarray:
+        from perphil_tpu.ops.partri import apply_varcoef_stencil
+
+        n = self.n
+        if self.nfields == 1:
+            y = self.lower_solve[0](r.reshape(self.shape))
+            return self.upper_solve[0](y).reshape(r.shape)
+        r1 = r[:n].reshape(self.shape)
+        r2 = r[n:].reshape(self.shape)
+        y1 = self.lower_solve[0](r1)
+        y2 = self.lower_solve[1](r2 - apply_varcoef_stencil(y1, self.cross_lower))
+        z2 = self.upper_solve[1](y2)
+        z1 = self.upper_solve[0](y1 - apply_varcoef_stencil(z2, self.cross_upper))
+        return jnp.concatenate([z1.ravel(), z2.ravel()])
+
+
+class PartriGS:
+    """One forward pointwise Gauss-Seidel sweep via parallel-prefix solves:
+    ``x_new = (D + L)^{-1} (b - U x_old)`` in lexicographic field-major order
+    (exactly the wavefront sweep's algebra, log-depth on device).
+    Pytree-registered; build with :func:`build_partri_gs`."""
+
+    def __init__(self, sys: StructuredSystem, values, dtype):
+        mesh = sys.mesh
+        d = mesh.dim
+        self.nfields = sys.nfields
+        self.shape = mesh.node_shape
+        self.n = sys.n_nodes
+        center = (0,) * d
+
+        self.ld_solve = []
+        self.upper_entries = []
+        for f in range(sys.nfields):
+            ent = _grid_entries(sys, values, f, 0, dtype)
+            diag = ent[center]
+            low = {g: w for g, w in ent.items() if _is_lower_geom(g, self.shape)}
+            upp = {
+                g: w
+                for g, w in ent.items()
+                if not _is_lower_geom(g, self.shape) and g != center
+            }
+            self.ld_solve.append(DirTriSolve(d, low, diag, reverse=False))
+            self.upper_entries.append(upp)
+        self.cross_lower = None
+        self.cross_upper = None
+        if sys.nfields == 2:
+            self.cross_lower = _grid_entries(sys, values, 1, -1, dtype)
+            self.cross_upper = _grid_entries(sys, values, 0, +1, dtype)
+
+    def tree_flatten(self):
+        children = (
+            self.ld_solve,
+            self.upper_entries,
+            self.cross_lower,
+            self.cross_upper,
+        )
+        return children, (self.nfields, self.shape, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.ld_solve, obj.upper_entries, obj.cross_lower, obj.cross_upper = children
+        obj.nfields, obj.shape, obj.n = aux
+        return obj
+
+    def sweep_flat(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        from perphil_tpu.ops.partri import apply_varcoef_stencil
+
+        n = self.n
+        if self.nfields == 1:
+            c = b.reshape(self.shape) - apply_varcoef_stencil(
+                x.reshape(self.shape), self.upper_entries[0]
+            )
+            return self.ld_solve[0](c).reshape(x.shape)
+        x1 = x[:n].reshape(self.shape)
+        x2 = x[n:].reshape(self.shape)
+        b1 = b[:n].reshape(self.shape)
+        b2 = b[n:].reshape(self.shape)
+        c1 = (
+            b1
+            - apply_varcoef_stencil(x1, self.upper_entries[0])
+            - apply_varcoef_stencil(x2, self.cross_upper)
+        )
+        y1 = self.ld_solve[0](c1)
+        c2 = (
+            b2
+            - apply_varcoef_stencil(x2, self.upper_entries[1])
+            - apply_varcoef_stencil(y1, self.cross_lower)
+        )
+        y2 = self.ld_solve[1](c2)
+        return jnp.concatenate([y1.ravel(), y2.ravel()])
+
+
+def _is_lower_geom(g, shape) -> bool:
+    """Lexicographic comparison via strides: flat delta < 0 <=> lower."""
+    d = len(shape)
+    strides = [1]
+    for ax in range(1, d):
+        strides.append(strides[-1] * shape[d - ax])
+    return int(np.dot(g, strides)) < 0
+
+
+for _cls in (DirTriSolve, PartriILU, PartriGS):
+    jax.tree_util.register_pytree_node(_cls, _cls.tree_flatten, _cls.tree_unflatten)
+
+
+def build_partri_ilu(sys: StructuredSystem, factors: np.ndarray, dtype) -> PartriILU:
+    """Build the parallel-prefix ILU applier in ONE compiled program (eager
+    construction would dispatch thousands of tiny ops — ~30 ms each through
+    the axon relay)."""
+    F = jnp.asarray(factors, dtype=dtype)
+    return jax.jit(lambda F_: PartriILU(sys, F_, dtype))(F)
+
+
+def build_partri_gs(sys: StructuredSystem, values, dtype) -> PartriGS:
+    """Build the parallel-prefix GS sweeper in one compiled program."""
+    V = jnp.asarray(values, dtype=dtype)
+    return jax.jit(lambda V_: PartriGS(sys, V_, dtype))(V)
+
+
+# ---------------------------------------------------------------------------
 # device-side wavefront kernels
 # ---------------------------------------------------------------------------
 
@@ -319,6 +601,7 @@ class StructuredILU0:
     deltas: Tuple[int, ...]
     center: int
     levels: jnp.ndarray  # (L, W) padded with nrows
+    partri: Optional[PartriILU] = None
 
     @classmethod
     def _from_system(cls, sys: StructuredSystem) -> "StructuredILU0":
@@ -331,6 +614,9 @@ class StructuredILU0:
         # large-N counts can shift by +-1). Set PERPHIL_TPU_ILU_DTYPE=
         # float64 for exact PETSc parity mode.
         dtype = jnp.dtype(os.environ.get("PERPHIL_TPU_ILU_DTYPE", "float32"))
+        partri = None
+        if _trisolve_backend() == "partri" and _partri_fits(sys, dtype.itemsize):
+            partri = build_partri_ilu(sys, f, dtype)
         return cls(
             mesh=sys.mesh,
             nfields=sys.nfields,
@@ -338,6 +624,7 @@ class StructuredILU0:
             deltas=tuple(int(x) for x in sys.deltas),
             center=sys.center_index,
             levels=jnp.asarray(_padded_levels(sys, _wavefront_unroll())),
+            partri=partri,
         )
 
     @classmethod
@@ -378,9 +665,12 @@ class StructuredILU0:
 
     def apply_flat(self, r: jnp.ndarray) -> jnp.ndarray:
         """z = U^{-1} (L^{-1} r) with unit-lower L (computed in the factor
-        dtype — float32 by default — and cast back)."""
+        dtype — float32 by default — and cast back). Uses the parallel-prefix
+        path when built (default), else the wavefront sweeps."""
         out_dtype = r.dtype
         r = r.astype(self.factors.dtype)
+        if self.partri is not None:
+            return self.partri.apply_flat(r).astype(out_dtype)
         lower = tuple(t for t, d in enumerate(self.deltas) if d < 0)
         upper = tuple(t for t, d in enumerate(self.deltas) if d > 0)
         y = self._sweep(r, lower, jnp.zeros_like(r), reverse=False, scale_diag=False)
@@ -404,22 +694,33 @@ class GaussSeidelSweeper:
     deltas: Tuple[int, ...]
     center: int
     levels: jnp.ndarray
+    partri: Optional[PartriGS] = None
 
     @classmethod
-    def for_monolithic(cls, mesh: StructuredMesh, params: DPPParameters) -> "GaussSeidelSweeper":
+    def for_monolithic(
+        cls, mesh: StructuredMesh, params: DPPParameters, dtype=None
+    ) -> "GaussSeidelSweeper":
         sys = build_monolithic_system(mesh, params)
+        vals = jnp.asarray(sys.vals) if dtype is None else jnp.asarray(sys.vals, dtype)
+        partri = None
+        if _trisolve_backend() == "partri" and _partri_fits(sys, vals.dtype.itemsize):
+            partri = build_partri_gs(sys, sys.vals, vals.dtype)
         return cls(
             mesh=mesh,
             nfields=2,
-            vals=jnp.asarray(sys.vals),
+            vals=vals,
             deltas=tuple(int(x) for x in sys.deltas),
             center=sys.center_index,
             levels=jnp.asarray(_padded_levels(sys, _wavefront_unroll())),
+            partri=partri,
         )
 
     def sweep(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """One forward GS sweep: x_i <- (b_i - sum_{j != i} a_ij x_j)/a_ii
-        in lexicographic field-major order (wavefront-scheduled)."""
+        in lexicographic field-major order (parallel-prefix by default,
+        wavefront-scheduled fallback)."""
+        if self.partri is not None:
+            return self.partri.sweep_flat(x, b)
         nrows = x.shape[0]
         xext = jnp.concatenate([x, jnp.zeros(1, dtype=x.dtype)])
         b_ext = jnp.concatenate([b, jnp.zeros(1, dtype=x.dtype)])

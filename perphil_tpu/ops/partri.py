@@ -63,6 +63,26 @@ def _matvec(a, v):
     return jnp.einsum("...ij,...j->...i", a, v, precision=_PREC)
 
 
+def _unit_bidiag_solve(wr: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``(I - diag(wr, -1)) M = B`` along the row axis, exactly.
+
+    ``wr``: ``(*batch, ny, nx)``; ``B``: ``(*batch, ny, nx, ncol)``.
+    Row recurrence ``M[i] = B[i] + wr[i] * M[i-1]`` as one compiled scan
+    (pure VPU adds/multiplies — no precision surprises).
+    """
+    wr_first = jnp.moveaxis(wr, -1, 0)  # (nx, *batch, ny)
+    B_first = jnp.moveaxis(B, -2, 0)  # (nx, *batch, ny, ncol)
+
+    def step(prev, inp):
+        w, b = inp
+        cur = b + w[..., None] * prev
+        return cur, cur
+
+    init = jnp.zeros_like(B_first[0])
+    _, M = jax.lax.scan(step, init, (wr_first, B_first))
+    return jnp.moveaxis(M, 0, -2)
+
+
 def _interleave(even: jnp.ndarray, odd: jnp.ndarray) -> jnp.ndarray:
     """Interleave along axis 0: [e0, o0, e1, o1, ...]."""
     k = even.shape[0]
@@ -85,6 +105,11 @@ class AffineChainScan:
 
     ``apply(g)``: per-solve vector work only; ~2 log2(n) dependent stages of
     batched matvecs (or elementwise multiplies for scalar chains).
+
+    Registered as a pytree (maps are leaves), so instances can be built
+    inside ``jit`` (one compiled setup program instead of thousands of
+    eagerly dispatched ops) and passed as arguments to compiled solvers
+    (keeping multi-hundred-MB trees out of HLO constant pools).
     """
 
     def __init__(self, M: jnp.ndarray, scalar: bool = False):
@@ -93,17 +118,30 @@ class AffineChainScan:
         zero0 = jnp.zeros_like(M[:1])
         S = jnp.concatenate([zero0, M[1:]], axis=0) if self.n > 1 else zero0
         mul = (lambda a, b: a * b) if self.scalar else _matmat
-        self.levels: List[Tuple[jnp.ndarray, jnp.ndarray, bool]] = []
+        self.level_mats: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+        self.level_tails: List[bool] = []
         while S.shape[0] > 1:
             k = int(S.shape[0]) // 2
             odd_tail = (int(S.shape[0]) % 2) == 1
             S_even = S[0 : 2 * k : 2]
             S_odd = S[1 : 2 * k : 2]
-            self.levels.append((S_even, S_odd, odd_tail))
+            self.level_mats.append((S_even, S_odd))
+            self.level_tails.append(odd_tail)
             S_next = mul(S_odd, S_even)
             if odd_tail:
                 S_next = jnp.concatenate([S_next, S[-1:]], axis=0)
             S = S_next
+
+    def tree_flatten(self):
+        return tuple(self.level_mats), (self.scalar, self.n, tuple(self.level_tails))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.scalar, obj.n, tails = aux
+        obj.level_mats = list(children)
+        obj.level_tails = list(tails)
+        return obj
 
     def apply(self, g: jnp.ndarray) -> jnp.ndarray:
         """All prefix states: returns ``x`` with ``x[t]`` the recurrence
@@ -113,7 +151,7 @@ class AffineChainScan:
         # up-sweep: combine pairs; keep each level's input for the down-sweep
         saved: List[jnp.ndarray] = []
         v = g
-        for S_even, S_odd, odd_tail in self.levels:
+        for (S_even, S_odd), odd_tail in zip(self.level_mats, self.level_tails):
             k = S_even.shape[0]
             v_even = v[0 : 2 * k : 2]
             v_odd = v[1 : 2 * k : 2]
@@ -125,8 +163,9 @@ class AffineChainScan:
         # v now holds the single-element inclusive scan
         y = v
         # down-sweep: expand coarse inclusive results back to fine positions
-        for (S_even, S_odd, odd_tail), v_orig in zip(
-            reversed(self.levels), reversed(saved)
+        for ((S_even, S_odd), odd_tail), v_orig in zip(
+            zip(reversed(self.level_mats), reversed(self.level_tails)),
+            reversed(saved),
         ):
             k = S_even.shape[0]
             y_odd = y[:k]  # inclusive results at fine odd positions
@@ -177,14 +216,24 @@ class GridTriSolve2D:
         B = B.at[..., i[1:], i[1:] - 1].set(bm[..., 1:])
         B = B.at[..., i, i].set(b0)
         B = B.at[..., i[:-1], i[:-1] + 1].set(bp[..., :-1])
-        # T_y B_y: solve (I - diag(wr,-1)) M = B, unit lower bidiagonal
-        L = jnp.zeros(self.batch + (ny, nx, nx), dtype=dtype)
-        L = L.at[..., i, i].set(1.0)
-        L = L.at[..., i[1:], i[1:] - 1].set(-wr[..., 1:])
-        M = jax.scipy.linalg.solve_triangular(L, B, lower=True, unit_diagonal=True)
+        # M_y = T_y B_y: solve (I - diag(wr,-1)) M = B. Done by the exact
+        # sequential recurrence (one compiled scan, setup-only) rather than
+        # XLA's blocked TriangularSolve, whose internal matmuls would run at
+        # the backend's default (bf16 on TPU) precision.
+        M = _unit_bidiag_solve(wr, B)
         # element axis (y) first for the chain: (ny, *batch, nx, nx)
         M = jnp.moveaxis(M, len(self.batch), 0)
         self.chain = AffineChainScan(M)
+
+    def tree_flatten(self):
+        return (self.row_scan, self.chain), (self.batch, self.ny, self.nx)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.row_scan, obj.chain = children
+        obj.batch, obj.ny, obj.nx = aux
+        return obj
 
     def row_solve(self, c: jnp.ndarray) -> jnp.ndarray:
         """Solve the within-row bidiagonal systems only: (I - L_y) g = c."""
@@ -248,11 +297,27 @@ class GridTriSolve3D:
         M = jnp.transpose(Mcols.reshape(m2, nz, m2), (1, 2, 0))  # (nz, row, col)
         self.chain = AffineChainScan(M)
 
+    def tree_flatten(self):
+        return (self.plane2d, self.chain), (self.nz, self.ny, self.nx)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.plane2d, obj.chain = children
+        obj.nz, obj.ny, obj.nx = aux
+        return obj
+
     def apply(self, c: jnp.ndarray) -> jnp.ndarray:
         """Solve for ``x`` given ``c`` of shape ``(nz, ny, nx)``."""
         g = self.plane2d.apply(c)  # (nz, ny, nx)
         x = self.chain.apply(g.reshape(self.nz, self.ny * self.nx))
         return x.reshape(self.nz, self.ny, self.nx)
+
+
+for _cls in (AffineChainScan, GridTriSolve2D, GridTriSolve3D):
+    jax.tree_util.register_pytree_node(
+        _cls, _cls.tree_flatten, _cls.tree_unflatten
+    )
 
 
 def apply_varcoef_stencil(x: jnp.ndarray, coeffs: dict) -> jnp.ndarray:

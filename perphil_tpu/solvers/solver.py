@@ -56,6 +56,68 @@ logger = logging.getLogger(__name__)
 _DIRECT_RTOL = 1e-13  # inner tolerance when "LU" is emulated by PCG
 
 
+_LIFT_CONST_BYTES = 1 << 16  # embed constants below this size, lift the rest
+
+
+def _lifted_jit(fn: Callable, *example_args) -> Callable:
+    """``jit`` with large closure-captured arrays lifted to arguments.
+
+    Solve functions close over precomputed preconditioner tensors (the
+    parallel-prefix ILU trees reach ~540 MB at 2D N=256). As closure
+    constants those land in the HLO constant pool — the axon relay's
+    compile endpoint rejects such payloads (HTTP 413: a 2D N=256 ILU solve
+    lowers to >1 GB of HLO text), and every recompilation would re-upload
+    them. This traces ``fn`` once, swaps every constant above
+    ``_LIFT_CONST_BYTES`` for a runtime argument, and jits the re-wired
+    jaxpr. (``jax.closure_convert`` is not enough: it hoists only
+    AD-perturbed consts, not plain concrete arrays.)
+    """
+    flat_args, in_tree = jax.tree_util.tree_flatten(example_args)
+    out_trees = []
+
+    def flat_fn(*flat):
+        args = jax.tree_util.tree_unflatten(in_tree, flat)
+        out = fn(*args)
+        out_flat, out_tree = jax.tree_util.tree_flatten(out)
+        out_trees.append(out_tree)
+        return out_flat
+
+    closed = jax.make_jaxpr(flat_fn)(*flat_args)
+    out_tree = out_trees[-1]
+    consts = closed.consts
+    big = {
+        i
+        for i, c in enumerate(consts)
+        if getattr(c, "nbytes", 0) > _LIFT_CONST_BYTES
+    }
+    small = [c for i, c in enumerate(consts) if i not in big]
+    big_vals = [consts[i] for i in sorted(big)]
+
+    def run(big_args, *flat):
+        it_small = iter(small)
+        it_big = iter(big_args)
+        merged = [
+            next(it_big) if i in big else next(it_small) for i in range(len(consts))
+        ]
+        return jax.core.eval_jaxpr(closed.jaxpr, merged, *flat)
+
+    jitted = jax.jit(run)
+
+    def call(*args):
+        flat, _ = jax.tree_util.tree_flatten(args)
+        out_flat = jitted(big_vals, *flat)
+        return jax.tree_util.tree_unflatten(out_tree, out_flat)
+
+    return call
+
+
+def _example_grids(op: "DPPOperator", k: int):
+    from perphil_tpu.config import default_dtype
+
+    shape = op.grid_shape
+    return tuple(jnp.zeros(shape, dtype=default_dtype()) for _ in range(k))
+
+
 @dataclass(frozen=True)
 class Solution:
     """Result of a solve; parity with reference ``solver.py:14-27``."""
@@ -380,7 +442,7 @@ def _build_linear_solver(
                 # semantics; see reference convergence.csv MUMPS rows)
                 return z1, z2, jnp.asarray(1), jnp.asarray(0.0, dtype=b1.dtype)
 
-            return jax.jit(solve_preonly)
+            return _lifted_jit(solve_preonly, *_example_grids(op, 2))
         pc = _monolithic_pc(op, flat)
 
         def solve_pc_once(g1, g2):
@@ -389,7 +451,7 @@ def _build_linear_solver(
             z = pc(b) if pc is not None else b
             return z[0], z[1], jnp.asarray(1), jnp.asarray(0.0, dtype=b.dtype)
 
-        return jax.jit(solve_pc_once)
+        return _lifted_jit(solve_pc_once, *_example_grids(op, 2))
 
     if ksp not in ("gmres", "cg"):
         raise ValueError(f"Unsupported ksp_type: {ksp!r}")
@@ -432,7 +494,11 @@ def _build_linear_solver(
             b1, b2 = op.lifted_rhs(g1, g2)
             return _solve_from(x01, x02, b1, b2, 0.0, atol_abs)
 
-        return jax.jit(solve_krylov_x0)
+        return _lifted_jit(
+            solve_krylov_x0,
+            *_example_grids(op, 4),
+            jnp.zeros((), dtype=_example_grids(op, 1)[0].dtype),
+        )
 
     def solve_krylov(g1, g2):
         # Firedrake's LinearVariationalSolver is SNES ksponly: the KSP sees
@@ -444,7 +510,7 @@ def _build_linear_solver(
         x02 = jnp.where(bdry, g2, 0.0)
         return _solve_from(x01, x02, b1, b2, rtol, atol)
 
-    return jax.jit(solve_krylov)
+    return _lifted_jit(solve_krylov, *_example_grids(op, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +637,11 @@ def _build_nonlinear_solver(
                 x, its, fn = _ngs_from(x, b, atol_abs, max_it)
                 return x[:n].reshape(shape), x[n:].reshape(shape), its, fn
 
-            return jax.jit(solve_ngs_x0)
+            return _lifted_jit(
+                solve_ngs_x0,
+                *_example_grids(op, 4),
+                jnp.zeros((), dtype=_example_grids(op, 1)[0].dtype),
+            )
 
         def solve_pointwise_ngs(g1, g2):
             b1, b2 = op.lifted_rhs(g1, g2)
@@ -585,7 +655,7 @@ def _build_nonlinear_solver(
             x, its, fn = _ngs_from(x, b, tol, max_it)
             return x[:n].reshape(shape), x[n:].reshape(shape), its, fn
 
-        return jax.jit(solve_pointwise_ngs)
+        return _lifted_jit(solve_pointwise_ngs, *_example_grids(op, 2))
 
     if snes == "block_gs":
         # Picard block Gauss-Seidel: exact alternating field solves — the
@@ -618,7 +688,7 @@ def _build_nonlinear_solver(
             )
             return z1, z2, its, fn
 
-        return jax.jit(solve_ngs)
+        return _lifted_jit(solve_ngs, *_example_grids(op, 2))
 
     if snes == "nrichardson":
         # DOCUMENTED DEVIATION from PETSc: SNESNRICHARDSON with no inner
@@ -662,6 +732,6 @@ def _build_nonlinear_solver(
             )
             return z1, z2, its, fn
 
-        return jax.jit(solve_rich)
+        return _lifted_jit(solve_rich, *_example_grids(op, 2))
 
     raise ValueError(f"Unsupported snes_type: {snes!r}")
