@@ -269,6 +269,65 @@ class DPPOperator:
         d2 = jnp.where(bdry, 1.0, d2c * one)
         return jnp.concatenate([d1.ravel(), d2.ravel()])
 
+    # -- double-float (two-f32) views: the TPU Krylov fast path -------------
+
+    def matvec_df(self, z1, z2):
+        """Operator application on per-field double-float pairs (see
+        ``ops/dfvec``): native-f32 VPU work with ~49-bit accuracy, replacing
+        the 30-100x-slower emulated-f64 matvec in Krylov loops."""
+        from perphil_tpu.ops.df32 import df_apply_stencil, df_axpy_wf64, df_sub
+
+        p = self.params
+        K_st, M_st = self._stencils
+        bdry, interior = self._mask_arrays
+
+        def mask(x, keep, fb):
+            return (jnp.where(keep, x[0], fb[0]), jnp.where(keep, x[1], fb[1]))
+
+        zero = (jnp.zeros_like(z1[0]), jnp.zeros_like(z1[1]))
+        z1i = mask(z1, interior, zero)
+        z2i = mask(z2, interior, zero)
+        Kz1 = df_apply_stencil(z1i, np.asarray(K_st))
+        Kz2 = df_apply_stencil(z2i, np.asarray(K_st))
+        Md = df_apply_stencil(df_sub(z1i, z2i), np.asarray(M_st))
+        y1 = df_axpy_wf64(df_axpy_wf64(zero, p.k1 / p.mu, Kz1), p.beta / p.mu, Md)
+        y2 = df_axpy_wf64(df_axpy_wf64(zero, p.k2 / p.mu, Kz2), -p.beta / p.mu, Md)
+        return mask(y1, interior, z1), mask(y2, interior, z2)
+
+    def stacked_matvec_df(self) -> Callable:
+        """df analogue of :meth:`stacked_matvec`: operates on a df pair of
+        stacked fields ``((2, *grid) hi, (2, *grid) lo)``."""
+
+        def mv(x):
+            xh, xl = x
+            y1, y2 = self.matvec_df((xh[0], xl[0]), (xh[1], xl[1]))
+            return jnp.stack([y1[0], y2[0]]), jnp.stack([y1[1], y2[1]])
+
+        return mv
+
+    def lifted_rhs_df(self, g1, g2):
+        """df analogue of :meth:`lifted_rhs` (per-field df pairs in/out)."""
+        from perphil_tpu.ops.df32 import df_apply_stencil, df_axpy_wf64, df_sub
+
+        p = self.params
+        K_st, M_st = self._stencils
+        bdry, interior = self._mask_arrays
+
+        def mask(x, keep, fb):
+            return (jnp.where(keep, x[0], fb[0]), jnp.where(keep, x[1], fb[1]))
+
+        zero = (jnp.zeros_like(g1[0]), jnp.zeros_like(g1[1]))
+        g1b = mask(g1, bdry, zero)
+        g2b = mask(g2, bdry, zero)
+        Kg1 = df_apply_stencil(g1b, np.asarray(K_st))
+        Kg2 = df_apply_stencil(g2b, np.asarray(K_st))
+        Mgd = df_apply_stencil(df_sub(g1b, g2b), np.asarray(M_st))
+        a1 = df_axpy_wf64(df_axpy_wf64(zero, p.k1 / p.mu, Kg1), p.beta / p.mu, Mgd)
+        a2 = df_axpy_wf64(df_axpy_wf64(zero, p.k2 / p.mu, Kg2), -p.beta / p.mu, Mgd)
+        b1 = mask((-a1[0], -a1[1]), ~bdry, g1)
+        b2 = mask((-a2[0], -a2[1]), ~bdry, g2)
+        return b1, b2
+
 
 @dataclass(frozen=True)
 class FieldOperator:
@@ -315,6 +374,15 @@ class FieldOperator:
         — used to build delayed-form RHS terms."""
         _, M_st = self._stencils
         return (self.beta / self.mu) * apply_stencil(z, M_st)
+
+    def matvec_df(self, z):
+        """Block application on a double-float pair (TPU Krylov fast path)."""
+        from perphil_tpu.ops.df32 import df_apply_stencil
+
+        bdry, interior = self._mask_arrays
+        zi = (jnp.where(interior, z[0], 0.0), jnp.where(interior, z[1], 0.0))
+        y = df_apply_stencil(zi, np.asarray(self.stencil))
+        return (jnp.where(bdry, z[0], y[0]), jnp.where(bdry, z[1], y[1]))
 
     def lifted_rhs(self, g: jnp.ndarray, f: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """RHS for ``A z = f`` with boundary values ``g``; ``f`` is a full

@@ -367,6 +367,260 @@ def _monolithic_pc(
     raise ValueError(f"Unsupported pc_type: {pc_type!r}")
 
 
+# ---------------------------------------------------------------------------
+# double-float (df32) Krylov path — the TPU default
+# ---------------------------------------------------------------------------
+
+
+def _ksp_mode() -> str:
+    """Krylov arithmetic: 'df32' (two-f32 vectors, f64 scalars) or 'native'.
+
+    Auto: df32 on TPU-class backends (emulated f64 is 30-100x slower AND
+    carries ~1e-7 reduction noise), native float64 elsewhere (exact PETSc
+    parity; the golden regression suite runs this on CPU). Override with
+    PERPHIL_TPU_KSP_DTYPE=df32|float64.
+    """
+    import os
+
+    mode = os.environ.get("PERPHIL_TPU_KSP_DTYPE", "auto")
+    if mode == "df32":
+        return "df32"
+    if mode in ("native", "f64", "float64"):
+        return "native"
+    try:
+        return "df32" if jax.default_backend().lower() in ("tpu", "axon") else "native"
+    except Exception:
+        return "native"
+
+
+def _df_of(g64):
+    from perphil_tpu.ops.df32 import df_from_f64
+
+    return df_from_f64(g64)
+
+
+def _f64_of(df):
+    return df[0].astype(jnp.float64) + df[1].astype(jnp.float64)
+
+
+def _exact_field_solver_df(fop: FieldOperator) -> Callable:
+    """df-pair exact block solve (the fieldsplit 'LU' role)."""
+    from perphil_tpu.ops.krylov import cg_df
+
+    mesh = fop.mesh
+    if mesh.is_tensor_product:
+        from perphil_tpu.ops.mixed import MixedPrecisionFieldDirect
+
+        return MixedPrecisionFieldDirect(
+            mesh, fop.k, fop.beta, fop.mu, padding=fop.padding
+        ).solve_df
+    # simplicial: machine-tolerance df CG with the f32 lumped fast-diag PC
+    pc32 = FastDiagFieldSolver(mesh, fop.k, fop.beta, fop.mu, lumped=True)
+
+    def pc_df(v):
+        z = pc32.solve(v[0] + v[1])
+        return z, jnp.zeros_like(z)
+
+    def solve(b_df):
+        x, _, _ = cg_df(
+            fop.matvec_df, b_df, rtol=_DIRECT_RTOL, atol=0.0, max_it=1000,
+            M_inv_df=pc_df,
+        )
+        return x
+
+    return solve
+
+
+def _field_pc_df(fop: FieldOperator, pc_type: str, sub: Dict) -> Optional[Callable]:
+    if pc_type in ("none", None):
+        return None
+    if pc_type == "jacobi":
+        center = (1,) * fop.mesh.dim
+        dc = float(np.asarray(fop.stencil)[center])
+        bdry = jnp.asarray(fop._mask_arrays[0])
+        dinv = jnp.where(bdry, 1.0, 1.0 / dc).astype(jnp.float32)
+        return lambda v: (dinv * v[0], dinv * v[1])
+    if pc_type in ("lu", "cholesky"):
+        return _exact_field_solver_df(fop)
+    if pc_type == "ilu":
+        from perphil_tpu.ops.ilu import StructuredILU0
+
+        ilu = StructuredILU0.for_field(fop)
+        crop = tuple(slice(0, n) for n in fop.mesh.node_shape)
+        padded = any(fop.padding)
+
+        def apply_ilu_df(v):
+            v32 = v[0] + v[1]
+            if padded:
+                z = v32.at[crop].set(ilu.apply_grid(v32[crop]))
+            else:
+                z = ilu.apply_grid(v32)
+            return z, jnp.zeros_like(z)
+
+        return apply_ilu_df
+    raise ValueError(f"Unsupported block pc_type: {pc_type!r}")
+
+
+def _block_solver_df(fop: FieldOperator, sub: Dict[str, object]) -> Callable:
+    """df-pair grid->grid fieldsplit block solver."""
+    from perphil_tpu.ops.krylov import cg_df, gmres_df
+
+    ksp = str(sub.get("ksp_type", "preonly"))
+    pc_type = str(sub.get("pc_type", "ilu"))
+    if ksp == "preonly":
+        if pc_type in ("lu", "cholesky"):
+            return _exact_field_solver_df(fop)
+        pc = _field_pc_df(fop, pc_type, sub)
+        return pc if pc is not None else (lambda v: v)
+    if ksp in ("gmres", "cg"):
+        rtol = float(sub.get("ksp_rtol", 1e-5))
+        atol = float(sub.get("ksp_atol", 1e-50))
+        max_it = int(sub.get("ksp_max_it", 10000))
+        restart = int(sub.get("ksp_gmres_restart", 30))
+        pc = _field_pc_df(fop, pc_type, sub)
+
+        if ksp == "gmres":
+
+            def solve(b_df):
+                res = gmres_df(
+                    fop.matvec_df, b_df, rtol=rtol, atol=atol, max_it=max_it,
+                    restart=restart, M_inv_df=pc,
+                )
+                return res.x
+
+        else:
+
+            def solve(b_df):
+                x, _, _ = cg_df(
+                    fop.matvec_df, b_df, rtol=rtol, atol=atol, max_it=max_it,
+                    M_inv_df=pc,
+                )
+                return x
+
+        return solve
+    raise ValueError(f"Unsupported block ksp_type: {ksp!r}")
+
+
+def _coupling_apply_df(
+    mesh: StructuredMesh, params: DPPParameters, padding: Tuple[int, ...] = ()
+) -> Callable:
+    """df analogue of :func:`_coupling_apply`."""
+    from perphil_tpu.ops.assembly import _masks
+    from perphil_tpu.ops.df32 import df_apply_stencil, df_axpy_wf64
+
+    _, M_st = compile_stencils(mesh)
+    bdry, _ = _masks(mesh, padding)
+    bdry = jnp.asarray(bdry)
+    coef = -(params.beta / params.mu)
+
+    def C(z):
+        zi = (jnp.where(bdry, 0.0, z[0]), jnp.where(bdry, 0.0, z[1]))
+        y = df_apply_stencil(zi, np.asarray(M_st))
+        zero = (jnp.zeros_like(z[0]), jnp.zeros_like(z[1]))
+        y = df_axpy_wf64(zero, coef, y)
+        return (jnp.where(bdry, 0.0, y[0]), jnp.where(bdry, 0.0, y[1]))
+
+    return C
+
+
+def _monolithic_pc_df(op: DPPOperator, flat: Dict[str, object]) -> Optional[Callable]:
+    """df analogue of :func:`_monolithic_pc`: stacked df pairs in and out.
+
+    PC internals run at their natural precision: f32 for ILU/Jacobi (a
+    preconditioner needs no more), double-float refinement for exact-LU
+    roles (accuracy ~1e-12, needed for the fieldsplit-LU 4-iteration
+    signature)."""
+    from perphil_tpu.ops.df32 import df_sub as _df_sub
+
+    pc_type = str(flat.get("pc_type", "none"))
+    mesh = op.mesh
+
+    def _split(r):
+        rh, rl = r
+        return (rh[0], rl[0]), (rh[1], rl[1])
+
+    def _stack(a, b):
+        return jnp.stack([a[0], b[0]]), jnp.stack([a[1], b[1]])
+
+    if pc_type == "none":
+        return None
+    if pc_type == "jacobi":
+        dinv = (1.0 / op.diagonal()).reshape((2,) + op.grid_shape).astype(jnp.float32)
+        return lambda r: (dinv * r[0], dinv * r[1])
+    if pc_type in ("lu", "cholesky"):
+        if mesh.is_tensor_product:
+            from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
+
+            direct = MixedPrecisionDPPDirect(mesh, op.params, padding=op.padding)
+
+            def apply_lu(r):
+                r1, r2 = _split(r)
+                z1, z2 = direct.solve_df(r1, r2)
+                return _stack(z1, z2)
+
+            return apply_lu
+        # simplicial monolithic LU role: f64 fallback through the native
+        # direct solver (not used by any benchmark approach)
+        direct64 = _monolithic_direct(op)
+
+        def apply_lu64(r):
+            r1, r2 = _split(r)
+            z1, z2 = direct64(_f64_of(r1), _f64_of(r2))
+            from perphil_tpu.ops.df32 import df_from_f64
+
+            return _stack(df_from_f64(z1), df_from_f64(z2))
+
+        return apply_lu64
+    if pc_type == "ilu":
+        from perphil_tpu.ops.ilu import StructuredILU0
+
+        levels = int(flat.get("pc_factor_levels", 0) or 0)
+        if levels != 0:
+            raise NotImplementedError(
+                "Only ILU(0) is implemented (the only level any reference "
+                "workload uses, parameters.py:27)"
+            )
+        ilu = StructuredILU0.for_monolithic(op)
+        crop = (slice(None),) + tuple(slice(0, n) for n in mesh.node_shape)
+
+        def apply_ilu_df(r):
+            r32 = r[0] + r[1]
+            rr = r32[crop]
+            z = ilu.apply_flat(rr.reshape(-1)).reshape(rr.shape)
+            out = r32.at[crop].set(z)
+            return out, jnp.zeros_like(out)
+
+        return apply_ilu_df
+    if pc_type == "fieldsplit":
+        fs_type = str(flat.get("pc_fieldsplit_type", "multiplicative"))
+        p = op.params
+        f0 = FieldOperator(op.W.sub(0), p.k1, p.beta, p.mu, op.padding)
+        f1 = FieldOperator(op.W.sub(1), p.k2, p.beta, p.mu, op.padding)
+        B0 = _block_solver_df(f0, _sub_options(flat, "fieldsplit_0_"))
+        B1 = _block_solver_df(f1, _sub_options(flat, "fieldsplit_1_"))
+        C = _coupling_apply_df(mesh, p, op.padding)
+
+        if fs_type == "multiplicative":
+
+            def apply_fs(r):
+                r1, r2 = _split(r)
+                y1 = B0(r1)
+                y2 = B1(_df_sub(r2, C(y1)))
+                return _stack(y1, y2)
+
+        elif fs_type == "additive":
+
+            def apply_fs(r):
+                r1, r2 = _split(r)
+                return _stack(B0(r1), B1(r2))
+
+        else:
+            raise ValueError(f"Unsupported pc_fieldsplit_type: {fs_type!r}")
+
+        return apply_fs
+    raise ValueError(f"Unsupported pc_type: {pc_type!r}")
+
+
 def _monolithic_direct(op: DPPOperator) -> Callable:
     """Exact direct solve of the monolithic system (grids -> grids)."""
     mesh = op.mesh
@@ -460,6 +714,10 @@ def _build_linear_solver(
     atol = float(flat.get("ksp_atol", 1e-50))
     max_it = int(flat.get("ksp_max_it", 10000))
     restart = int(flat.get("ksp_gmres_restart", 30))
+
+    if ksp == "gmres" and _ksp_mode() == "df32":
+        return _build_linear_solver_df(op, flat, rtol, atol, max_it, restart)
+
     pc = _monolithic_pc(op, flat)
     mv = op.stacked_matvec()
 
@@ -511,6 +769,71 @@ def _build_linear_solver(
         return _solve_from(x01, x02, b1, b2, rtol, atol)
 
     return _lifted_jit(solve_krylov, *_example_grids(op, 2))
+
+
+def _build_linear_solver_df(
+    op: DPPOperator, flat: Dict, rtol: float, atol: float, max_it: int, restart: int
+) -> Callable:
+    """Compile the df32 (two-f32) GMRES solve — the TPU default.
+
+    Same Newton-step formulation as the native path (``A d = b - A x0`` with
+    x0 the BC lift; convergence relative to the initial preconditioned
+    residual), with assembly, operator, and Krylov vectors in double-float.
+    Inputs/outputs stay float64 at the API boundary.
+    """
+    from perphil_tpu.ops.df32 import df_from_f64
+    from perphil_tpu.ops.krylov import gmres_df
+
+    pc_df = _monolithic_pc_df(op, flat)
+    mv_df = op.stacked_matvec_df()
+    bdry = jnp.asarray(op._mask_arrays[0])
+    with_guess = bool(flat.get("_x0_continuation", False))
+
+    def _stack(a, b):
+        return jnp.stack([a[0], b[0]]), jnp.stack([a[1], b[1]])
+
+    def _prep(g1, g2):
+        g1d = df_from_f64(g1)
+        g2d = df_from_f64(g2)
+        b1, b2 = op.lifted_rhs_df(g1d, g2d)
+        b = _stack(b1, b2)
+        x01 = (jnp.where(bdry, g1d[0], 0.0), jnp.where(bdry, g1d[1], 0.0))
+        x02 = (jnp.where(bdry, g2d[0], 0.0), jnp.where(bdry, g2d[1], 0.0))
+        return b, _stack(x01, x02)
+
+    def _finish(res):
+        xh, xl = res.x
+        z1 = xh[0].astype(jnp.float64) + xl[0].astype(jnp.float64)
+        z2 = xh[1].astype(jnp.float64) + xl[1].astype(jnp.float64)
+        return z1, z2, res.iterations, res.residual_norm
+
+    if with_guess:
+
+        def solve_krylov_x0_df(g1, g2, x01, x02, atol_abs):
+            b, _ = _prep(g1, g2)
+            x0h = jnp.stack([x01, x02]).astype(jnp.float32)
+            x0l = (jnp.stack([x01, x02]) - x0h.astype(jnp.float64)).astype(jnp.float32)
+            res = gmres_df(
+                mv_df, b, x0_df=(x0h, x0l), rtol=0.0, atol=atol_abs,
+                max_it=max_it, restart=restart, M_inv_df=pc_df,
+            )
+            return _finish(res)
+
+        return _lifted_jit(
+            solve_krylov_x0_df,
+            *_example_grids(op, 4),
+            jnp.zeros((), dtype=_example_grids(op, 1)[0].dtype),
+        )
+
+    def solve_krylov_df(g1, g2):
+        b, x0 = _prep(g1, g2)
+        res = gmres_df(
+            mv_df, b, x0_df=x0, rtol=rtol, atol=atol, max_it=max_it,
+            restart=restart, M_inv_df=pc_df,
+        )
+        return _finish(res)
+
+    return _lifted_jit(solve_krylov_df, *_example_grids(op, 2))
 
 
 # ---------------------------------------------------------------------------

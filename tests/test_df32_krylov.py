@@ -1,0 +1,85 @@
+"""Double-float Krylov layer: algebra accuracy + solver count parity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from perphil_tpu.ops.df32 import df_from_f64
+from perphil_tpu.ops.dfvec import (
+    df_basis_comb,
+    df_basis_dot,
+    df_dot,
+    df_norm,
+    df_sum_tree,
+)
+
+
+def _rnd(shape, seed):
+    return np.random.default_rng(seed).standard_normal(shape)
+
+
+def test_df_sum_tree_accuracy():
+    x = _rnd(10_001, 0) * np.logspace(-6, 6, 10_001)
+    s = df_sum_tree(df_from_f64(jnp.asarray(x)))
+    got = float(s[0]) + float(s[1])
+    want = float(np.sum(np.sort(x)))  # well-conditioned reference
+    assert abs(got - want) <= 1e-11 * np.sum(np.abs(x))
+
+
+def test_df_dot_matches_f64():
+    u = _rnd(5000, 1)
+    v = _rnd(5000, 2)
+    got = float(df_dot(df_from_f64(jnp.asarray(u)), df_from_f64(jnp.asarray(v))))
+    want = float(u @ v)
+    assert abs(got - want) <= 1e-12 * (np.abs(u) @ np.abs(v))
+
+
+def test_df_basis_ops_match_f64():
+    V = _rnd((7, 300), 3)
+    w = _rnd(300, 4)
+    Vdf = df_from_f64(jnp.asarray(V))
+    wdf = df_from_f64(jnp.asarray(w))
+    h = np.asarray(df_basis_dot(Vdf, wdf))
+    np.testing.assert_allclose(h, V @ w, rtol=1e-12, atol=1e-12)
+    h64 = jnp.asarray(V @ w)
+    comb = df_basis_comb(h64, Vdf)
+    got = np.asarray(comb[0], dtype=np.float64) + np.asarray(comb[1], dtype=np.float64)
+    np.testing.assert_allclose(got, (V @ w) @ V, rtol=1e-11, atol=1e-11)
+    n = float(df_norm(wdf))
+    assert abs(n - np.linalg.norm(w)) <= 1e-12 * np.linalg.norm(w)
+
+
+@pytest.mark.parametrize(
+    "approach,N,want",
+    [
+        ("PLAIN_GMRES", 4, 10),
+        ("GMRES_ILU", 4, 5),
+        ("GMRES_ILU", 16, 11),
+        ("SS_GMRES", 8, 4),
+        ("SS_GMRES_ILU", 8, 4),
+    ],
+)
+def test_df32_gmres_count_parity(approach, N, want, monkeypatch):
+    """The df32 mode reproduces the golden preconditioned iteration counts
+    (plain GMRES can drift by a few counts at larger N from the coarser
+    ~6e-15 unit roundoff; preconditioned paths are exact)."""
+    monkeypatch.setenv("PERPHIL_TPU_KSP_DTYPE", "df32")
+    from perphil_tpu.experiments.iterative_bench import Approach, params_for
+    from perphil_tpu.forms import create_function_spaces, mixed_space
+    from perphil_tpu.mesh import create_mesh
+    from perphil_tpu.models.dpp import DPPParameters
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.solvers import solve_dpp
+    from perphil_tpu.solvers.solver import _build_linear_solver
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+    _build_linear_solver.cache_clear()  # cached solvers bake in the mode
+    params = DPPParameters()
+    mesh = create_mesh(N, N)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    sol = solve_dpp(W, params, bcs, solver_parameters=params_for(Approach[approach]))
+    assert sol.iteration_number == want
+    _build_linear_solver.cache_clear()
