@@ -902,6 +902,108 @@ def solve_dpp_nonlinear(
     return Solution(Function(W, (z1, z2)), int(its), float(fnorm))
 
 
+def _build_ngs_solver_df(
+    op: DPPOperator, flat: Dict, rtol: float, atol: float, max_it: int
+) -> Callable:
+    """Pointwise-GS Picard in mixed precision (the TPU default).
+
+    One GS sweep from iterate x equals x + e where e is one sweep *from
+    zero* on the error equation A e = r (both are affine with the same
+    linear part — exact identity). So the sweep itself runs in f32 (the
+    parallel-prefix (D+L) solve), while x and the residual are maintained
+    in double-float: iteration counts track the f64 trajectory and the
+    converged function norm is df-accurate, with no emulated-f64 work in
+    the loop.
+    """
+    from perphil_tpu.ops.df32 import df_add, df_from_f64
+    from perphil_tpu.ops.dfvec import df_norm
+    from perphil_tpu.ops.ilu import GaussSeidelSweeper
+
+    mesh = op.mesh
+    sweeper = GaussSeidelSweeper.for_monolithic(mesh, op.params, dtype=jnp.float32)
+    shape = mesh.node_shape
+    n = int(np.prod(shape))
+    with_guess = bool(flat.get("_x0_continuation", False))
+
+    def _residual_df(x_df, b_df):
+        # per-field df matvec on grid shapes
+        x1 = (x_df[0][:n].reshape(shape), x_df[1][:n].reshape(shape))
+        x2 = (x_df[0][n:].reshape(shape), x_df[1][n:].reshape(shape))
+        y1, y2 = op.matvec_df(x1, x2)
+        rh = b_df[0] - jnp.concatenate([y1[0].ravel(), y2[0].ravel()])
+        rl = b_df[1] - jnp.concatenate([y1[1].ravel(), y2[1].ravel()])
+        return rh, rl
+
+    def _ngs_from_df(x_df, b_df, tol, budget):
+        def fn_of(x_df):
+            return df_norm(_residual_df(x_df, b_df))
+
+        def cond(state):
+            x_df, its, fn = state
+            return (fn > tol) & (its < budget)
+
+        def body(state):
+            x_df, its, fn = state
+            r = _residual_df(x_df, b_df)
+            e = sweeper.sweep(jnp.zeros_like(r[0]), r[0] + r[1])
+            x_df = df_add(x_df, (e, jnp.zeros_like(e)))
+            return x_df, its + 1, fn_of(x_df)
+
+        return jax.lax.while_loop(cond, body, (x_df, jnp.asarray(0), fn_of(x_df)))
+
+    def _prep(g1, g2):
+        g1d = df_from_f64(g1)
+        g2d = df_from_f64(g2)
+        b1, b2 = op.lifted_rhs_df(g1d, g2d)
+        b_df = (
+            jnp.concatenate([b1[0].ravel(), b2[0].ravel()]),
+            jnp.concatenate([b1[1].ravel(), b2[1].ravel()]),
+        )
+        return g1d, g2d, b_df
+
+    def _finish(x_df, its, fn):
+        x64 = x_df[0].astype(jnp.float64) + x_df[1].astype(jnp.float64)
+        return x64[:n].reshape(shape), x64[n:].reshape(shape), its, fn
+
+    if with_guess:
+
+        def solve_ngs_x0_df(g1, g2, x01, x02, atol_abs):
+            _, _, b_df = _prep(g1, g2)
+            xh = jnp.concatenate([x01.ravel(), x02.ravel()]).astype(jnp.float32)
+            x64 = jnp.concatenate([x01.ravel(), x02.ravel()])
+            xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
+            x_df, its, fn = _ngs_from_df((xh, xl), b_df, atol_abs, max_it)
+            return _finish(x_df, its, fn)
+
+        return _lifted_jit(
+            solve_ngs_x0_df,
+            *_example_grids(op, 4),
+            jnp.zeros((), dtype=_example_grids(op, 1)[0].dtype),
+        )
+
+    bdry = jnp.asarray(mesh.boundary_mask())
+
+    def solve_ngs_df(g1, g2):
+        g1d, g2d, b_df = _prep(g1, g2)
+        x1h = jnp.where(bdry, g1d[0], 0.0)
+        x1l = jnp.where(bdry, g1d[1], 0.0)
+        x2h = jnp.where(bdry, g2d[0], 0.0)
+        x2l = jnp.where(bdry, g2d[1], 0.0)
+        x_df = (
+            jnp.concatenate([x1h.ravel(), x2h.ravel()]),
+            jnp.concatenate([x1l.ravel(), x2l.ravel()]),
+        )
+        r0 = _residual_df(x_df, b_df)
+        from perphil_tpu.ops.dfvec import df_norm as _dfn
+
+        f0n = _dfn(r0)
+        tol = jnp.maximum(rtol * f0n, atol)
+        x_df, its, fn = _ngs_from_df(x_df, b_df, tol, max_it)
+        return _finish(x_df, its, fn)
+
+    return _lifted_jit(solve_ngs_df, *_example_grids(op, 2))
+
+
 @lru_cache(maxsize=64)
 def _build_nonlinear_solver(
     W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
@@ -931,6 +1033,9 @@ def _build_nonlinear_solver(
         # (16/63/194/635/1673/5135 for N=4..128) are matched to within the
         # DoF-ordering difference.
         from perphil_tpu.ops.ilu import GaussSeidelSweeper
+
+        if _ksp_mode() == "df32":
+            return _build_ngs_solver_df(op, flat, rtol, atol, max_it)
 
         sweeper = GaussSeidelSweeper.for_monolithic(mesh, params)
         mv = op.flat_matvec()
