@@ -283,6 +283,70 @@ def _block(x):
     return x
 
 
+def _time_compiled(fn: Callable, x, reps: int = 10) -> float:
+    """Average wall time of a compiled call (warmup + blocked timing)."""
+    _block(fn(x))
+    t0 = time.perf_counter()
+    y = None
+    for _ in range(reps):
+        y = fn(x)
+    _block(y)
+    return (time.perf_counter() - t0) / reps
+
+
+def _matvec_probe(op: DPPOperator, g1, g2):
+    """The operator application exactly as the Krylov loop runs it
+    (double-float on TPU, native dtype otherwise)."""
+    import jax.numpy as jnp
+
+    from perphil_tpu.solvers.solver import _ksp_mode
+
+    if _ksp_mode() == "df32":
+        from perphil_tpu.ops.df32 import df_from_f64
+
+        mv_df = op.stacked_matvec_df()
+        xh, xl = df_from_f64(jnp.stack([g1, g2]))
+        return jax.jit(lambda x: mv_df(x)), (xh, xl)
+    mv = jax.jit(op.stacked_matvec())
+    return mv, jnp.stack([g1, g2])
+
+
+def _pc_probe(op: DPPOperator, approach: Approach, g1, g2):
+    """Build and compile the preconditioner application standalone, in the
+    arithmetic mode the solve actually uses — measured, not estimated
+    (the reference measures the PCApply event, ``petsc_profiling.py:275-343``).
+    Returns (jitted_fn, example_input) or None when the approach has no PC.
+    """
+    import jax.numpy as jnp
+
+    from perphil_tpu.solvers.solver import (
+        _flatten_options,
+        _ksp_mode,
+        _monolithic_pc,
+        _monolithic_pc_df,
+    )
+
+    if approach == Approach.PLAIN_GMRES:
+        return None
+    sp_flat = _flatten_options(params_for(approach))
+    if str(sp_flat.get("ksp_type", "gmres")) == "preonly":
+        return None  # direct solves: factor application == the solve itself
+    if not str(sp_flat.get("pc_type", "none")) or sp_flat.get("pc_type") == "none":
+        return None
+    if _ksp_mode() == "df32":
+        from perphil_tpu.ops.df32 import df_from_f64
+
+        pc = _monolithic_pc_df(op, sp_flat)
+        if pc is None:
+            return None
+        x = df_from_f64(jnp.stack([g1, g2]))
+        return jax.jit(lambda r: pc(r)), x
+    pc = _monolithic_pc(op, sp_flat)
+    if pc is None:
+        return None
+    return jax.jit(lambda r: pc(r)), jnp.stack([g1, g2])
+
+
 def _profile_with_events(
     solver: Callable,
     g1,
@@ -292,9 +356,11 @@ def _profile_with_events(
     logical_events: List[str],
     repeats: int,
 ):
-    """Explicit stage timing (the Events-API analogue, reference ``:275-343``)."""
-    import jax.numpy as jnp
+    """Explicit stage timing (the Events-API analogue, reference ``:275-343``).
 
+    MatMult and PCApply are direct measurements of the compiled kernels the
+    solve uses (df32-mode kernels on TPU), scaled by the number of
+    applications per solve; KSPSolve/SNESSolve are true wall times."""
     times = {e: 0.0 for e in logical_events}
 
     # KSPSolve/SNESSolve: true wall time of the compiled solve
@@ -311,22 +377,18 @@ def _profile_with_events(
         times["KSPSolve"] = wall  # inner linear work dominates
         times["SNESFunctionEval"] = 0.0
 
-    # MatMult: measure the compiled operator application directly, scale by
-    # (iterations + 1) applications per solve (r0 + one per Krylov step)
-    mv = jax.jit(op.stacked_matvec())
-    x = jnp.stack([g1, g2])
-    _block(mv(x))
-    reps_mv = 10
-    t0 = time.perf_counter()
-    for _ in range(reps_mv):
-        y = mv(x)
-    _block(y)
-    t_mv = (time.perf_counter() - t0) / reps_mv
+    # MatMult: one application per Krylov step + the initial residual
+    mv, x = _matvec_probe(op, g1, g2)
+    t_mv = _time_compiled(mv, x)
     times["MatMult"] = t_mv * (its + 1) * max(1, repeats)
 
-    # PCApply: per-iteration PC cost bounded by (solve - matvec) share
-    if approach not in (Approach.PLAIN_GMRES,):
-        times["PCApply"] = max(0.0, wall - times["MatMult"]) * 0.8
+    # PCApply: measured on the standalone compiled PC (left preconditioning:
+    # one application per iteration + one per residual/restart)
+    probe = _pc_probe(op, approach, g1, g2)
+    if probe is not None:
+        pc_fn, pc_x = probe
+        t_pc = _time_compiled(pc_fn, pc_x)
+        times["PCApply"] = t_pc * (its + 1) * max(1, repeats)
 
     return times, wall, its
 
