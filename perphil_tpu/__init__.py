@@ -17,8 +17,16 @@ from perphil_tpu import config as _config
 
 _config.setup()
 
-HAS_TPU: bool = _config.has_tpu()
-
 __version__ = "0.1.0"
 
 __all__ = ["HAS_TPU", "__version__"]
+
+
+def __getattr__(name: str):
+    # HAS_TPU is resolved lazily: probing jax.devices() at import time would
+    # initialize the XLA backend, which forbids a later
+    # jax.distributed.initialize() (multi-host runs must import this package
+    # before bringing up the cluster — see parallel/distributed.py).
+    if name == "HAS_TPU":
+        return _config.has_tpu()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -82,16 +82,27 @@ def _check_divisible(shape: Tuple[int, ...], dmesh: Mesh, offset: int) -> None:
             )
 
 
+def _place(x, dmesh: Mesh, spec: P):
+    """device_put on a single-process mesh; global-array assembly when the
+    mesh spans multiple processes (device_put cannot reach non-addressable
+    devices)."""
+    if jax.process_count() > 1:
+        from perphil_tpu.parallel.distributed import make_global
+
+        return make_global(x, dmesh, spec)
+    return jax.device_put(x, NamedSharding(dmesh, spec))
+
+
 def shard_stacked(x, dmesh: Mesh):
     """Place a stacked field array (2, *grid) on the device mesh."""
     _check_divisible(x.shape, dmesh, 1)
-    return jax.device_put(x, NamedSharding(dmesh, field_spec(dmesh, x.ndim - 1)))
+    return _place(x, dmesh, field_spec(dmesh, x.ndim - 1))
 
 
 def shard_grid(x, dmesh: Mesh):
     """Place a bare field grid on the device mesh."""
     _check_divisible(x.shape, dmesh, 0)
-    return jax.device_put(x, NamedSharding(dmesh, field_spec(dmesh, x.ndim, stacked=False)))
+    return _place(x, dmesh, field_spec(dmesh, x.ndim, stacked=False))
 
 
 def mesh_padding(node_shape: Tuple[int, ...], dmesh: Mesh) -> Tuple[int, ...]:
@@ -141,5 +152,18 @@ def sharded_solve_dpp(
     z1, z2, its, rnorm = solver(g1, g2)
     if any(padding):
         crop = tuple(slice(0, n) for n in W.mesh.node_shape)
-        z1, z2 = z1[crop], z2[crop]
+        if jax.process_count() > 1:
+            # non-addressable global arrays can't be sliced on the host;
+            # crop inside a jitted program (XLA repartitions the result)
+            z1, z2 = jax.jit(lambda a, b: (a[crop], b[crop]))(z1, z2)
+        else:
+            z1, z2 = z1[crop], z2[crop]
+    if jax.process_count() > 1:
+        from perphil_tpu.parallel.distributed import replicate_scalar
+
+        return Solution(
+            Function(W, (z1, z2)),
+            int(replicate_scalar(its, dmesh)),
+            replicate_scalar(rnorm, dmesh),
+        )
     return Solution(Function(W, (z1, z2)), int(its), float(rnorm))
