@@ -140,7 +140,15 @@ def main(argv: list[str] | None = None) -> None:
         description="2D convergence experiment for conforming DPP (two pressures)"
     )
     ap.add_argument("--Ns", type=int, nargs="+", default=[16, 32, 64])
-    ap.add_argument("--degree", type=int, default=1)
+    ap.add_argument(
+        "--degree",
+        type=int,
+        default=1,
+        choices=[1],
+        help="Pressure-space polynomial degree. Only degree-1 (Q1/P1) spaces "
+        "are implemented (every published reference artifact uses degree 1; "
+        "reference forms/spaces.py:5-36 accepts arbitrary degree via Firedrake).",
+    )
     ap.add_argument("--tri", action="store_true", help="Use triangles instead of quads")
     ap.add_argument("--rtols", type=float, nargs="+", default=[1e-8, 1e-10])
     ap.add_argument(

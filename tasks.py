@@ -150,6 +150,92 @@ def clean(args):
 
 
 @task
+def hooks(args):
+    """Install the pre-commit git hooks (reference tasks.py:1156-1170).
+    Pass `overwrite` to reinstall over an existing hook."""
+    if shutil.which("pre-commit") is None:
+        print("pre-commit not installed; hook config is .pre-commit-config.yaml")
+        return
+    cmd = ["pre-commit", "install"]
+    if args.rest and args.rest[0] == "overwrite":
+        cmd.append("--overwrite")
+    _run(cmd)
+
+
+@task
+def run_hooks(args):
+    """Run the configured pre-commit hooks (reference tasks.py:1172-1210).
+    Pass `all` to run on every file instead of the staged diff."""
+    if shutil.which("pre-commit") is None:
+        print("pre-commit not installed; running the built-in fallback checks")
+        _builtin_hygiene_checks()
+        return
+    cmd = ["pre-commit", "run"]
+    if args.rest and args.rest[0] == "all":
+        cmd.append("--all-files")
+    _run(cmd)
+
+
+def _builtin_hygiene_checks():
+    """Zero-dependency analogue of the hook suite: trailing whitespace,
+    missing final newline, and compileall over the package."""
+    import compileall
+
+    bad = []
+    for p in sorted(ROOT.glob("perphil_tpu/**/*.py")) + sorted(ROOT.glob("tests/**/*.py")):
+        text = p.read_text()
+        if any(line != line.rstrip() for line in text.splitlines()):
+            bad.append(f"{p}: trailing whitespace")
+        if text and not text.endswith("\n"):
+            bad.append(f"{p}: no final newline")
+    if not compileall.compile_dir(str(ROOT / "perphil_tpu"), quiet=2):
+        bad.append("compileall failed")
+    for b in bad:
+        print(b)
+    if bad:
+        sys.exit(1)
+    print("built-in hygiene checks passed")
+
+
+@task
+def diff_coverage(args):
+    """Coverage of new/changed lines vs origin/main (reference
+    tasks.py:1397-1413). Uses diff-cover when installed, else coverage.py's
+    own report filtered to the changed files."""
+    if shutil.which("diff-cover") is not None:
+        _run(["diff-cover", "coverage.xml", "--config-file", "pyproject.toml"])
+        return
+    try:
+        import coverage  # noqa: F401
+    except ImportError:
+        print("neither diff-cover nor coverage installed; skipping")
+        return
+    _run([sys.executable, "-m", "coverage", "run", "-m", "pytest", "tests/", "-q"])
+    changed = subprocess.run(
+        ["git", "diff", "--name-only", "HEAD~1", "--", "perphil_tpu/"],
+        capture_output=True, text=True, cwd=ROOT,
+    ).stdout.split()
+    cmd = [sys.executable, "-m", "coverage", "report", "--show-missing"]
+    if changed:
+        cmd += [c for c in changed if Path(ROOT, c).exists()]
+    _run(cmd)
+
+
+@task
+def dev_clean(args):
+    """clean + remove generated notebook ipynb pairs and coverage artifacts
+    (reference tasks.py:1449-1494)."""
+    clean(args)
+    for pat in ("notebooks/*.ipynb", ".coverage", "coverage.xml", "htmlcov"):
+        for p in ROOT.glob(pat):
+            if p.is_dir():
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                p.unlink(missing_ok=True)
+            print("removed", p)
+
+
+@task
 def graft_check(args):
     """Driver-hook sanity: compile entry() and dry-run the multichip path."""
     _run([sys.executable, "__graft_entry__.py"])
