@@ -20,11 +20,19 @@ per level); triangular solves and GS sweeps run on device as a
 
 Matrix storage is structural: every row holds the same static offset list
 (block shift x geometric 3^d stencil offsets); entries that fall outside the
-grid are masked. This matches PETSc's allocated AIJ pattern (which keeps
-explicit zeros at eliminated BC positions), so fill positions agree.
-Iteration counts can still differ by a few percent from the reference
-because Firedrake numbers DoFs via DMPlex, not lexicographically, and
-ILU/GS are ordering-dependent.
+grid are masked. On quads/hexes this equals PETSc's allocated AIJ pattern
+(every offset couples), so 2D ILU iteration counts match the reference
+exactly. On simplex meshes the 3^d envelope carries explicit zeros at
+never-coupled offsets (12 of 27 for tets) that PETSc does not allocate —
+extra ILU(0) fill positions that make this a strictly STRONGER
+preconditioner: 3D tet GMRES+ILU counts are 4/7/12/21 at nx=4/8/16/32 vs
+the reference's 6/8/15/26 (up to 24% fewer). The reference counts are
+reproduced exactly by the finite-element pattern + cell-RCM (DMPlex-like)
+ordering; see ``ops/ordering.py``, ``experiments/ordering_study.py`` and
+the committed ``ordering_sensitivity.csv`` for the full sensitivity study.
+Pointwise-GS sweep counts are ordering-insensitive to within a few percent
+(same study); the Picard ngs gap vs the reference (~10-20%) is dominated by
+SNES convergence-test details, not ordering.
 """
 
 from __future__ import annotations

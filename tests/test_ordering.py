@@ -1,0 +1,54 @@
+"""Ordering/pattern sensitivity: the lexicographic-vs-DMPlex effect on
+ILU(0)-GMRES and pointwise-GS counts (VERDICT round-1 item #6).
+
+Key facts pinned here:
+  - cell-RCM ordering + finite-element fill pattern reproduces the
+    reference's 3D tet GMRES+ILU counts EXACTLY (6/8 at nx=4/8; 15/26 at
+    nx=16/32 are verified in the committed ordering_sensitivity.csv — too
+    slow for the test suite),
+  - the production envelope pattern is a strictly stronger preconditioner
+    (fewer iterations than every FE-pattern ordering),
+  - 2D quad counts are pattern-insensitive (envelope == FE adjacency),
+    which is why production 2D ILU counts match the reference exactly,
+  - pointwise-GS ordering sensitivity is a few percent; the
+    production-vs-reference NGS gap is criterion-dominated and bounded.
+"""
+
+import numpy as np
+import pytest
+
+from perphil_tpu.experiments.ordering_study import ilu_case, ngs_case
+
+
+pytestmark = pytest.mark.regression
+
+# reference petsc_perf_breakdown_3d.csv (GMRES + ILU PC rows)
+REF_ILU_3D = {4: 6, 8: 8}
+# production structured (envelope-pattern, natural-order) counts
+PROD_ILU_3D = {4: 4, 8: 7}
+
+
+@pytest.mark.parametrize("N", [4, 8])
+def test_cell_rcm_fe_pattern_reproduces_reference_3d(N):
+    assert ilu_case(N, 3, "cell-rcm", "fe") == REF_ILU_3D[N]
+
+
+@pytest.mark.parametrize("N", [4, 8])
+def test_envelope_pattern_matches_production_and_is_stronger(N):
+    its_env = ilu_case(N, 3, "natural", "envelope")
+    assert its_env == PROD_ILU_3D[N]
+    assert its_env <= ilu_case(N, 3, "natural", "fe")
+
+
+def test_2d_quad_pattern_insensitive_matches_reference():
+    # envelope == FE adjacency on quads: host count == reference count == 5
+    assert ilu_case(4, 2, "natural", "envelope", quad_or_hex=True) == 5
+
+
+@pytest.mark.parametrize("N,ref", [(4, 16), (8, 63)])
+def test_ngs_ordering_drift_is_bounded(N, ref):
+    counts = [ngs_case(N, 2, o, stol=0.0) for o in ("natural", "cell-rcm")]
+    # ordering effect is small; criterion effect bounds the reference gap
+    assert max(counts) - min(counts) <= max(2, 0.05 * ref)
+    for c in counts:
+        assert abs(c - ref) / ref < 0.25
