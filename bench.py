@@ -98,6 +98,13 @@ def main() -> None:
     )
     assert rel < 1e-10, f"direct solve residual too large: {rel}"
 
+    # roofline position: XLA's own flop/byte counts for the pipeline vs the
+    # chip's peak compute / HBM bandwidth (VERDICT #7; docs/benchmarks.md
+    # carries the full table)
+    from perphil_tpu.utils.roofline import analyze_compiled
+
+    point = analyze_compiled("pipeline_64cube", pipeline, (g1, g2), t)
+
     print(
         json.dumps(
             {
@@ -105,6 +112,11 @@ def main() -> None:
                 "value": t,
                 "unit": "s",
                 "vs_baseline": BASELINE_MUMPS_3D_NX40_SECONDS / t,
+                "achieved_gflops": round(point.gflops, 1),
+                "achieved_gbs": round(point.gbs, 1),
+                "mfu_bf16_peak": round(point.mfu_bf16, 4),
+                "hbm_bw_frac": round(point.hbm_frac, 4),
+                "roofline_bound": point.bound,
             }
         )
     )
