@@ -23,7 +23,7 @@ from perphil_tpu.experiments.profiling_3d import run_perf_sweep_3d, save_perf_cs
 OUT = Path(__file__).parent / "results-conforming-3d" / "petsc_profiling"
 OUT.mkdir(parents=True, exist_ok=True)
 
-SIZES = [4, 8, 16, 24, 32, 40]
+SIZES = [4, 8, 12, 16, 20, 24, 32, 36, 40]  # superset of the reference grid (4..40)
 if os.environ.get("PERPHIL_FAST"):
     SIZES = [4, 8]
 

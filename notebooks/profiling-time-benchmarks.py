@@ -35,16 +35,9 @@ APPROACHES = [
 ]
 
 # %%
-# SS-GMRES+ILU nests inner GMRES(ILU) solves inside one device program; at
-# nx=256 a single execution exceeds the TPU execution limit (device fault),
-# so that one approach is profiled up to 128 (the reference value at 256 is
-# 3.553 s CPU).
 rows = []
 for n in SIZES:
     for ap in APPROACHES:
-        if ap == Approach.SS_GMRES_ILU and n > 128:
-            print(f"[perf] nx={n} {ap.value}: skipped (exceeds single-execution limit)")
-            continue
         rows.extend(run_perf_sweep([n], approaches=[ap], repeats=5, backend="events"))
         save_perf_csv(rows, OUT / "petsc_perf_breakdown.csv")  # incremental
 df = pd.DataFrame(rows)
