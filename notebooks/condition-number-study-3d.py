@@ -13,6 +13,13 @@
 
 # %%
 import os
+
+# conditioning is an f64 eigen-analysis: run on CPU (exact arithmetic,
+# leaves the TPU free for the profiling sweeps)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 from pathlib import Path
 
 import numpy as np
@@ -25,7 +32,7 @@ from perphil_tpu.mesh import create_cube_mesh
 OUT = Path(__file__).parent / "results-conforming-3d" / "conditioning"
 OUT.mkdir(parents=True, exist_ok=True)
 
-NS = [4, 8, 12, 16]
+NS = [4, 6, 8, 10, 12, 14, 16]  # full reference grid (conditioning_3d.csv)
 if os.environ.get("PERPHIL_FAST"):
     NS = [4, 8]
 

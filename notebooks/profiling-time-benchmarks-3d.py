@@ -59,4 +59,33 @@ ax.grid(True, which="both", alpha=0.3)
 ax.legend(fontsize=7)
 fig.tight_layout()
 fig.savefig(OUT / "time_benchmarks_3d.png", dpi=150)
+
+# %% [markdown]
+# ## Per-event stacked breakdown (3D)
+
+# %%
+import numpy as np
+
+stack_events = ["time_PCSetUp", "time_MatMult", "time_PCApply"]
+colors = plt.cm.tab10(np.linspace(0, 1, len(stack_events) + 1))
+fig2, axs = plt.subplots(1, len(APPROACHES), figsize=(3.2 * len(APPROACHES), 4.0))
+for ax2, ap in zip(axs, APPROACHES):
+    sel = df[df.approach == ap.value].sort_values("nx")
+    xs = np.arange(len(sel))
+    bottom = np.zeros(len(sel))
+    for ev, c in zip(stack_events, colors):
+        vals = sel[ev].to_numpy()
+        ax2.bar(xs, vals, bottom=bottom, color=c, label=ev.removeprefix("time_"))
+        bottom += vals
+    other = np.maximum(sel.time_total.to_numpy() - bottom, 0.0)
+    ax2.bar(xs, other, bottom=bottom, color=colors[-1], label="other")
+    ax2.set_xticks(xs, [str(n) for n in sel.nx], fontsize=7)
+    ax2.set_title(ap.value, fontsize=8)
+    ax2.set_xlabel("nx")
+    ax2.set_yscale("log")
+axs[0].set_ylabel("time [s] (stacked events)")
+axs[0].legend(fontsize=7)
+fig2.tight_layout()
+fig2.savefig(OUT / "time_breakdown_stacked_3d.png", dpi=150)
+print("wrote", OUT / "time_breakdown_stacked_3d.png")
 print("wrote", OUT / "time_benchmarks_3d.png")

@@ -78,3 +78,71 @@ axs[1].grid(True, which="both", alpha=0.3)
 fig.tight_layout()
 fig.savefig(OUT / "time_benchmarks.png", dpi=150)
 print("wrote", OUT / "time_benchmarks.png")
+
+# %% [markdown]
+# ## Per-event stacked breakdown (the reference's stacked-bars view,
+# `petsc-profiling-time-benchmarks.py`): where each solve spends its time
+
+# %%
+import numpy as np
+
+stack_events = ["time_PCSetUp", "time_MatMult", "time_PCApply"]
+colors = plt.cm.tab10(np.linspace(0, 1, len(stack_events) + 1))
+fig, axs = plt.subplots(1, len(APPROACHES), figsize=(3.2 * len(APPROACHES), 4.0),
+                        sharey=False)
+for ax, ap in zip(axs, APPROACHES):
+    sel = df[df.approach == ap.value].sort_values("nx")
+    xs = np.arange(len(sel))
+    bottom = np.zeros(len(sel))
+    for ev, c in zip(stack_events, colors):
+        vals = sel[ev].to_numpy()
+        ax.bar(xs, vals, bottom=bottom, color=c, label=ev.removeprefix("time_"))
+        bottom += vals
+    other = np.maximum(sel.time_total.to_numpy() - bottom, 0.0)
+    ax.bar(xs, other, bottom=bottom, color=colors[-1], label="other")
+    ax.set_xticks(xs, [str(n) for n in sel.nx], fontsize=7)
+    ax.set_title(ap.value, fontsize=8)
+    ax.set_xlabel("nx")
+    ax.set_yscale("log")
+axs[0].set_ylabel("time [s] (stacked events)")
+axs[0].legend(fontsize=7)
+fig.tight_layout()
+fig.savefig(OUT / "time_breakdown_stacked.png", dpi=150)
+print("wrote", OUT / "time_breakdown_stacked.png")
+
+# %% [markdown]
+# ## KSP composition: MatMult vs PCApply share of the Krylov solve
+
+# %%
+fig, ax = plt.subplots(figsize=(6.5, 4.2))
+for ap in APPROACHES:
+    sel = df[df.approach == ap.value].sort_values("nx")
+    denom = sel.time_KSPSolve.replace(0.0, np.nan)
+    ax.semilogx(sel.dofs, sel.time_MatMult / denom, "o-", label=f"{ap.value} MatMult")
+    ax.semilogx(sel.dofs, sel.time_PCApply / denom, "s--", alpha=0.6,
+                label=f"{ap.value} PCApply")
+ax.set_xlabel("DoFs")
+ax.set_ylabel("share of KSPSolve")
+ax.set_ylim(0, 1.6)
+ax.grid(True, which="both", alpha=0.3)
+ax.legend(fontsize=6, ncols=2)
+fig.tight_layout()
+fig.savefig(OUT / "ksp_composition.png", dpi=150)
+print("wrote", OUT / "ksp_composition.png")
+
+# %% [markdown]
+# ## Device-memory footprint (TPU HBM, measured via memory_stats)
+
+# %%
+fig, ax = plt.subplots(figsize=(6, 4.2))
+for ap in APPROACHES:
+    sel = df[df.approach == ap.value].sort_values("nx")
+    if (sel.mem_device_peak_bytes > 0).any():
+        ax.loglog(sel.dofs, sel.mem_device_peak_bytes / 2**20, "o-", label=ap.value)
+ax.set_xlabel("DoFs")
+ax.set_ylabel("peak device memory [MiB]")
+ax.grid(True, which="both", alpha=0.3)
+ax.legend(fontsize=7)
+fig.tight_layout()
+fig.savefig(OUT / "device_memory.png", dpi=150)
+print("wrote", OUT / "device_memory.png")

@@ -22,7 +22,8 @@ user code written against the reference keeps working unchanged.
 
 _MAX_ITERATION_NUMBER = 50000
 
-# Linear monolithic solver parameters (direct solver; reference uses MUMPS)
+# Monolithic exact solve (the reference reaches this via MUMPS LU; here the
+# 'lu'/'mumps' keys select the tensor fast-diagonalization direct solver)
 LINEAR_SOLVER_PARAMS: dict = {
     "mat_type": "aij",
     "ksp_type": "preonly",
@@ -30,7 +31,7 @@ LINEAR_SOLVER_PARAMS: dict = {
     "pc_factor_mat_solver_type": "mumps",
 }
 
-# Pure GMRES parameters
+# Base restarted-GMRES settings shared by every Krylov preset
 GMRES_PARAMS: dict = {
     "mat_type": "aij",
     "ksp_type": "gmres",
@@ -39,16 +40,16 @@ GMRES_PARAMS: dict = {
     "ksp_max_it": _MAX_ITERATION_NUMBER,
 }
 
-# Plain GMRES without preconditioners
+# Unpreconditioned GMRES (the 'no PC' baseline row of the benchmarks)
 PLAIN_GMRES_PARAMS: dict = {"pc_type": "none", **GMRES_PARAMS}
 
-# GMRES + Jacobi parameters for scale-splitting comparison
+# GMRES with diagonal (Jacobi) scaling
 GMRES_JACOBI_PARAMS: dict = {"pc_type": "jacobi", **GMRES_PARAMS}
 
-# GMRES + ILU additional parameters for scale-splitting comparison
+# GMRES with structured ILU(0)
 GMRES_ILU_PARAMS: dict = {"pc_type": "ilu", "pc_factor_levels": 0, **GMRES_PARAMS}
 
-# Field-split preconditioner (multiplicative) with exact (LU-class) block solves
+# 2x2 block Gauss-Seidel PC, each diagonal block solved exactly
 FIELDSPLIT_LU_PARAMS: dict = {
     "pc_type": "fieldsplit",
     "pc_fieldsplit_type": "multiplicative",
@@ -58,7 +59,7 @@ FIELDSPLIT_LU_PARAMS: dict = {
     "fieldsplit_1": LINEAR_SOLVER_PARAMS,
 }
 
-# Field-split preconditioner (multiplicative) with GMRES in each block
+# 2x2 block Gauss-Seidel PC with inner (unpreconditioned) GMRES blocks
 FIELDSPLIT_GMRES_PARAMS: dict = {
     "pc_type": "fieldsplit",
     "pc_fieldsplit_type": "multiplicative",
@@ -68,7 +69,7 @@ FIELDSPLIT_GMRES_PARAMS: dict = {
     "fieldsplit_1": PLAIN_GMRES_PARAMS,
 }
 
-# Field-split preconditioner (multiplicative) with GMRES + ILU in each block
+# 2x2 block Gauss-Seidel PC with inner GMRES+ILU(0) block solves
 FIELDSPLIT_GMRES_ILU_PARAMS: dict = {
     "pc_type": "fieldsplit",
     "pc_fieldsplit_type": "multiplicative",
@@ -78,7 +79,8 @@ FIELDSPLIT_GMRES_ILU_PARAMS: dict = {
     "fieldsplit_1": GMRES_ILU_PARAMS,
 }
 
-# Picard (nonlinear Richardson) solver parameters with field-split
+# Damped Richardson Picard iteration (see solver.py for the documented
+# deviation from PETSc's unpreconditioned SNESNRICHARDSON)
 RICHARDSON_SOLVER_PARAMS: dict = {
     "snes_type": "nrichardson",
     "snes_max_it": _MAX_ITERATION_NUMBER,
@@ -89,7 +91,8 @@ RICHARDSON_SOLVER_PARAMS: dict = {
     **FIELDSPLIT_LU_PARAMS,
 }
 
-# Picard (nonlinear Gauss-Seidel with exact block solves) with field-split
+# Picard via SNES 'ngs' (pointwise GS sweeps; the fieldsplit keys below are
+# inert for PETSc's NGS and kept only for option-dict compatibility)
 PICARD_LU_SOLVER_PARAMS = {
     "snes_type": "ngs",
     "snes_max_it": _MAX_ITERATION_NUMBER,
@@ -98,7 +101,7 @@ PICARD_LU_SOLVER_PARAMS = {
     **FIELDSPLIT_LU_PARAMS,
 }
 
-# Picard (with GMRES block solves) with field-split
+# Picard 'ngs' variant carrying GMRES block options (inert, as above)
 PICARD_GMRES_SOLVER_PARAMS = {
     "snes_type": "ngs",
     "snes_max_it": _MAX_ITERATION_NUMBER,
@@ -107,7 +110,7 @@ PICARD_GMRES_SOLVER_PARAMS = {
     **FIELDSPLIT_GMRES_PARAMS,
 }
 
-# Picard (with GMRES + ILU block solves) with field-split
+# Picard 'ngs' variant carrying GMRES+ILU block options (inert, as above)
 PICARD_GMRES_ILU_SOLVER_PARAMS = {
     "snes_type": "ngs",
     "snes_max_it": _MAX_ITERATION_NUMBER,
@@ -116,7 +119,8 @@ PICARD_GMRES_ILU_SOLVER_PARAMS = {
     **FIELDSPLIT_GMRES_ILU_PARAMS,
 }
 
-# SNES with KSP-only (for preconditioner analysis)
+# One linear solve driven through the SNES wrapper (SNESKSPONLY semantics:
+# iteration_number reports 1)
 KSP_PREONLY_PARAMS: dict = {
     "snes_type": "ksponly",
     "ksp_monitor": None,
