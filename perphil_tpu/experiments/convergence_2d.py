@@ -144,10 +144,11 @@ def main(argv: list[str] | None = None) -> None:
         "--degree",
         type=int,
         default=1,
-        choices=[1],
-        help="Pressure-space polynomial degree. Only degree-1 (Q1/P1) spaces "
-        "are implemented (every published reference artifact uses degree 1; "
-        "reference forms/spaces.py:5-36 accepts arbitrary degree via Firedrake).",
+        choices=[1, 2, 3, 4],
+        help="Pressure-space polynomial degree (Qp on quad meshes via "
+        "ops/tensorfem; degree>1 requires --tri to be absent). Reference "
+        "forms/spaces.py:5-36 accepts arbitrary degree via Firedrake; every "
+        "published artifact uses degree 1.",
     )
     ap.add_argument("--tri", action="store_true", help="Use triangles instead of quads")
     ap.add_argument("--rtols", type=float, nargs="+", default=[1e-8, 1e-10])

@@ -42,12 +42,31 @@ class FunctionSpace:
     def __post_init__(self):
         if self.family not in ("CG", "Lagrange", "Q", "P"):
             raise ValueError(f"Unsupported family {self.family!r}; only CG1-type spaces exist")
-        if self.degree != 1:
-            raise ValueError("Only degree-1 (Q1/P1) spaces are supported")
+        if self.degree < 1:
+            raise ValueError("degree must be >= 1")
+        if self.degree > 1 and not self.mesh.is_tensor_product:
+            raise ValueError(
+                "Degree > 1 is supported on tensor-product (quad/hex) meshes "
+                "only (Qp via ops/tensorfem); simplex meshes are P1-only"
+            )
+
+    @property
+    def dof_mesh(self) -> StructuredMesh:
+        """The lattice carrying this space's DoFs: the mesh itself for
+        degree 1; the p-times-refined lattice for Qp (equispaced Lagrange
+        nodes ARE a refined uniform grid, so grid-shaped storage, boundary
+        masks and sharding carry over unchanged)."""
+        if self.degree == 1:
+            return self.mesh
+        from dataclasses import replace
+
+        return replace(
+            self.mesh, cells=tuple(self.degree * c for c in self.mesh.cells)
+        )
 
     def dim(self) -> int:
         """Total number of degrees of freedom."""
-        return self.mesh.num_vertices * int(np.prod(self.value_shape, dtype=int) or 1)
+        return self.dof_mesh.num_vertices * int(np.prod(self.value_shape, dtype=int) or 1)
 
     def num_sub_spaces(self) -> int:
         """Scalar/vector spaces have no sub-spaces (parity helper)."""
@@ -55,7 +74,7 @@ class FunctionSpace:
 
     @property
     def dof_shape(self) -> Tuple[int, ...]:
-        return self.mesh.node_shape + self.value_shape
+        return self.dof_mesh.node_shape + self.value_shape
 
 
 @dataclass(frozen=True)
@@ -198,11 +217,12 @@ class Function:
     # -- evaluation ------------------------------------------------------
 
     def interpolate(self, expr: Expr) -> "Function":
-        """Set DoFs to the expression's vertex values (nodal interpolation,
-        matching ``Function.interpolate`` for CG1)."""
+        """Set DoFs to the expression's nodal values (nodal interpolation;
+        for Qp the nodes are the refined lattice, so this IS the degree-p
+        Lagrange interpolant)."""
         if isinstance(self.space, MixedFunctionSpace):
             raise ValueError("Interpolate into sub-functions individually")
-        self.data = _evaluate(expr, self.space.mesh, self.space.value_shape)
+        self.data = _evaluate(expr, self.space.dof_mesh, self.space.value_shape)
         return self
 
     def assign(self, other: Union["Function", Expr]) -> "Function":
@@ -219,7 +239,9 @@ class Function:
         """
         if isinstance(self.space, MixedFunctionSpace):
             raise ValueError("Evaluate sub-functions individually")
-        mesh = self.space.mesh
+        # degree p evaluates multilinearly on the refined DoF lattice (exact
+        # at nodes; O(h^2/p^2) between them — plotting/slicing accuracy)
+        mesh = self.space.dof_mesh
         pts_arr = jnp.asarray(points, dtype=default_dtype())
         single = pts_arr.ndim == 1
         pts = jnp.atleast_2d(pts_arr)

@@ -83,12 +83,14 @@ class DirichletBC:
 def bc_values_per_field(
     W: MixedFunctionSpace, bcs: Optional[Sequence[DirichletBC]]
 ) -> Tuple[jnp.ndarray, ...]:
-    """Collect per-field boundary-value grids (zero where no BC given)."""
-    mesh = W.mesh
+    """Collect per-field boundary-value grids (zero where no BC given).
+    Values live on each sub-space's DoF lattice (the refined grid for Qp)."""
     dtype = default_dtype()
-    vals = [jnp.zeros(mesh.node_shape, dtype=dtype) for _ in range(W.num_sub_spaces())]
+    vals = [
+        jnp.zeros(s.dof_shape, dtype=dtype) for s in W.spaces
+    ]
     for bc in bcs or ():
-        vals[bc.sub_index] = bc.grid_values(mesh)
+        vals[bc.sub_index] = bc.grid_values(W.spaces[bc.sub_index].dof_mesh)
     return tuple(vals)
 
 

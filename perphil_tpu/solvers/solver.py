@@ -846,6 +846,151 @@ def _validate_mixed(W) -> None:
         raise ValueError(f"Expected a 2-field MixedFunctionSpace, got {type(W)}")
 
 
+@lru_cache(maxsize=64)
+def _build_tensor_linear_solver(
+    W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
+) -> Callable:
+    """Degree-p (Qp) linear solver on tensor-product meshes
+    (``ops/tensorfem``): exact fast-diagonalization direct solve for
+    preonly+lu, GMRES with none/jacobi/fieldsplit-LU preconditioning
+    otherwise. ILU has no degree-p structured factorization and is
+    rejected explicitly."""
+    from perphil_tpu.ops.krylov import gmres
+    from perphil_tpu.ops.tensorfem import (
+        TensorDPPOperator,
+        TensorFastDiagDPP,
+        assemble_1d,
+        interior_eig_1d,
+    )
+
+    flat = dict(frozen_sp)
+    degree = W.spaces[0].degree
+    mesh = W.mesh
+    op = TensorDPPOperator(mesh, params, degree)
+    ksp = str(flat.get("ksp_type", "preonly"))
+    pc_type = str(flat.get("pc_type", "lu"))
+    rtol = float(flat.get("ksp_rtol", 1e-5))
+    atol = float(flat.get("ksp_atol", 1e-50))
+    max_it = int(flat.get("ksp_max_it", 10000))
+    restart = int(flat.get("ksp_gmres_restart", 30))
+
+    if ksp == "preonly":
+        if pc_type != "lu":
+            raise ValueError(f"degree-{degree} preonly supports pc_type=lu only")
+        direct = TensorFastDiagDPP(mesh, params, degree)
+
+        @jax.jit
+        def solve_direct(g1, g2):
+            b1, b2 = op.lifted_rhs(g1, g2)
+            z1, z2 = direct.solve(b1, b2)
+            return z1, z2, jnp.asarray(1), jnp.asarray(0.0, dtype=g1.dtype)
+
+        return solve_direct
+
+    if ksp != "gmres":
+        raise ValueError(f"degree-{degree} spaces support preonly/gmres, got {ksp!r}")
+
+    bdry = jnp.asarray(op.boundary_mask)
+    if pc_type in ("none", ""):
+        pc = None
+    elif pc_type == "jacobi":
+        # diagonal of the tensor operator from the 1D matrix diagonals
+        dK, dM = [], []
+        for c, h in zip(mesh.cells, mesh.h):
+            K1, M1 = assemble_1d(degree, c, h)
+            dK.append(np.diag(K1))
+            dM.append(np.diag(M1))
+        d = mesh.dim
+        diag_K = np.zeros(op.dof_shape)
+        diag_M = np.ones(op.dof_shape)
+        for ax in range(d):  # grid axes slowest-first
+            shape = [1] * d
+            shape[ax] = op.dof_shape[ax]
+            term = np.ones(op.dof_shape)
+            for ax2 in range(d):
+                shape2 = [1] * d
+                shape2[ax2] = op.dof_shape[ax2]
+                v = dK[d - 1 - ax2] if ax2 == ax else dM[d - 1 - ax2]
+                term = term * v.reshape(shape2)
+            diag_K = diag_K + term
+            diag_M = diag_M * dM[d - 1 - ax].reshape(shape)
+        p = params
+        d1 = (p.k1 / p.mu) * diag_K + (p.beta / p.mu) * diag_M
+        d2 = (p.k2 / p.mu) * diag_K + (p.beta / p.mu) * diag_M
+        d1 = np.where(np.asarray(op.boundary_mask), 1.0, d1)
+        d2 = np.where(np.asarray(op.boundary_mask), 1.0, d2)
+        dstack = jnp.asarray(np.stack([d1, d2]))
+
+        def pc(r):
+            return r / dstack
+
+    elif pc_type == "fieldsplit":
+        # multiplicative 2x2 block GS with exact per-block fast-diag solves
+        eig = tuple(
+            interior_eig_1d(degree, c, h) for c, h in zip(mesh.cells, mesh.h)
+        )
+        lams = [lam for (_, lam) in eig]
+        d = mesh.dim
+        lam_sum = np.zeros(tuple(len(l) for l in reversed(lams)))
+        for ax in range(d):
+            shape = [1] * d
+            shape[ax] = len(lams[d - 1 - ax])
+            lam_sum = lam_sum + lams[d - 1 - ax].reshape(shape)
+        p = params
+        scale1 = jnp.asarray((p.k1 * lam_sum + p.beta) / p.mu)
+        scale2 = jnp.asarray((p.k2 * lam_sum + p.beta) / p.mu)
+        mats = [S for (S, _) in eig]
+
+        from perphil_tpu.ops.tensorfem import _apply_axis
+
+        def _tr(f, transpose):
+            out = f
+            for ax in range(d):
+                S = mats[d - 1 - ax]
+                out = _apply_axis(out, jnp.asarray(S.T if transpose else S, dtype=f.dtype), ax)
+            return out
+
+        def _block_solve(r, scale):
+            inner = tuple(slice(1, n - 1) for n in r.shape)
+            fh = _tr(r[inner], True)
+            z = _tr(fh / scale.astype(r.dtype), False)
+            return r.at[inner].set(z)
+
+        Mc = op._M  # mass coupling application
+        beta_mu = params.beta / params.mu
+
+        def pc(r):
+            r1, r2 = r[0], r[1]
+            z1 = _block_solve(r1, scale1)
+            # multiplicative: second block sees the updated first field
+            coup = beta_mu * Mc(jnp.where(bdry, 0.0, z1))
+            z2 = _block_solve(r2 + jnp.where(bdry, 0.0, coup), scale2)
+            return jnp.stack([z1, z2])
+
+    elif pc_type == "ilu":
+        raise ValueError(
+            f"pc_type=ilu has no degree-{degree} structured factorization; "
+            "use fieldsplit/jacobi or the preonly fast-diag direct solve"
+        )
+    else:
+        raise ValueError(f"Unsupported pc_type {pc_type!r} for degree>{1}")
+
+    mv = op.stacked_matvec()
+
+    @jax.jit
+    def solve_gmres(g1, g2):
+        b1, b2 = op.lifted_rhs(g1, g2)
+        x0 = jnp.stack([jnp.where(bdry, g1, 0.0), jnp.where(bdry, g2, 0.0)])
+        b = jnp.stack([b1, b2])
+        res = gmres(
+            mv, b, x0=x0, rtol=rtol, atol=atol, max_it=max_it,
+            restart=restart, M_inv=pc,
+        )
+        return res.x[0], res.x[1], res.iterations, res.residual_norm
+
+    return solve_gmres
+
+
 def solve_dpp(
     W: MixedFunctionSpace,
     model_params: DPPParameters,
@@ -861,7 +1006,11 @@ def solve_dpp(
 
     solver_parameters = apply_prefix_overrides(solver_parameters, options_prefix)
     g1, g2 = bc_values_per_field(W, bcs)
-    solver = _build_linear_solver(W, model_params, _freeze(solver_parameters))
+    degree = W.spaces[0].degree
+    if degree > 1:
+        solver = _build_tensor_linear_solver(W, model_params, _freeze(solver_parameters))
+    else:
+        solver = _build_linear_solver(W, model_params, _freeze(solver_parameters))
     z1, z2, its, rnorm = solver(g1, g2)
     sol = Function(W, (z1, z2))
     return Solution(sol, int(its), float(rnorm))

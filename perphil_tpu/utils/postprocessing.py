@@ -112,6 +112,13 @@ def l2_error(
     quadrature_degree: int = DEFAULT_QUADRATURE_DEGREE,
 ) -> float:
     """||numerical - exact||_{L2}; reference ``postprocessing.py:89-105``."""
+    if numerical.space.degree > 1:
+        from perphil_tpu.ops.tensorfem import errornorm_p
+
+        return errornorm_p(
+            numerical.data, exact_expr, numerical.space.mesh,
+            numerical.space.degree, "l2", quadrature_degree,
+        )
     mesh = numerical.space.mesh
     origins = _cell_origin_coords(mesh)
     total = 0.0
@@ -129,6 +136,13 @@ def h1_seminorm_error(
     quadrature_degree: int = DEFAULT_QUADRATURE_DEGREE,
 ) -> float:
     """|numerical - exact|_{H1}; reference ``postprocessing.py:108-124``."""
+    if numerical.space.degree > 1:
+        from perphil_tpu.ops.tensorfem import errornorm_p
+
+        return errornorm_p(
+            numerical.data, exact_expr, numerical.space.mesh,
+            numerical.space.degree, "h1s", quadrature_degree,
+        )
     mesh = numerical.space.mesh
     origins = _cell_origin_coords(mesh)
     total = 0.0

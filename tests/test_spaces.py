@@ -26,9 +26,16 @@ def test_create_function_spaces_quad_and_tri():
 
 
 def test_unsupported_degree():
-    mesh = create_mesh(2, 2)
+    # degree > 1 exists on tensor-product meshes only (Qp via ops/tensorfem);
+    # simplex meshes remain P1-only, and degree < 1 is always rejected
+    tri = create_mesh(2, 2, quadrilateral=False)
     with pytest.raises(ValueError):
-        FunctionSpace(mesh, degree=2)
+        FunctionSpace(tri, degree=2)
+    quad = create_mesh(2, 2)
+    with pytest.raises(ValueError):
+        FunctionSpace(quad, degree=0)
+    V2 = FunctionSpace(quad, degree=2)
+    assert V2.dim() == 25  # (2*2+1)^2 nodes on the refined lattice
 
 
 def test_mixed_space():
