@@ -283,14 +283,33 @@ def _block(x):
     return x
 
 
-def _time_compiled(fn: Callable, x, reps: int = 10) -> float:
-    """Average wall time of a compiled call (warmup + blocked timing)."""
-    _block(fn(x))
+def _time_compiled(fn: Callable, x, reps: int = 32) -> float:
+    """Average wall time of one application of ``fn``.
+
+    ``fn`` must map its input pytree to an identically-shaped output (true
+    for operator/PC applications). All ``reps`` applications are chained
+    *inside one compiled call* (``lax.scan``) ending in a scalar readback:
+    individually dispatched calls pay the axon tunnel's ~1-10 ms round trip
+    each, overstating millisecond-scale kernels by 10-100x (see the timing
+    protocol note in ``bench.py``). Closure constants are lifted to runtime
+    arguments (``solver._lifted_jit``): the parallel-prefix ILU trees reach
+    ~540 MB at 2D nx=256 and overflow the axon remote-compile request limit
+    (HTTP 413) as HLO literals."""
+    from jax import lax
+
+    from perphil_tpu.solvers.solver import _lifted_jit
+
+    def chain(v):
+        def body(c, _):
+            return fn(c), None
+
+        out, _ = lax.scan(body, v, None, length=reps)
+        return out
+
+    cfn = _lifted_jit(chain, x)
+    _block(cfn(x))  # compile + warm
     t0 = time.perf_counter()
-    y = None
-    for _ in range(reps):
-        y = fn(x)
-    _block(y)
+    _block(cfn(x))
     return (time.perf_counter() - t0) / reps
 
 
@@ -306,9 +325,9 @@ def _matvec_probe(op: DPPOperator, g1, g2):
 
         mv_df = op.stacked_matvec_df()
         xh, xl = df_from_f64(jnp.stack([g1, g2]))
-        return jax.jit(lambda x: mv_df(x)), (xh, xl)
-    mv = jax.jit(op.stacked_matvec())
-    return mv, jnp.stack([g1, g2])
+        return (lambda x: mv_df(x)), (xh, xl)
+    x = jnp.stack([g1, g2])
+    return op.stacked_matvec(), x
 
 
 def _pc_probe(op: DPPOperator, approach: Approach, g1, g2):
@@ -340,11 +359,12 @@ def _pc_probe(op: DPPOperator, approach: Approach, g1, g2):
         if pc is None:
             return None
         x = df_from_f64(jnp.stack([g1, g2]))
-        return jax.jit(lambda r: pc(r)), x
+        return (lambda r: pc(r)), x
     pc = _monolithic_pc(op, sp_flat)
     if pc is None:
         return None
-    return jax.jit(lambda r: pc(r)), jnp.stack([g1, g2])
+    x = jnp.stack([g1, g2])
+    return (lambda r: pc(r)), x
 
 
 def _profile_with_events(
@@ -484,7 +504,11 @@ def run_perf_once(
                 times["KSPSolve"] = wall_total
                 backend_used = "wall"
                 break
-        except Exception:
+        except Exception as exc:
+            # fall through to the next backend, but never silently: a
+            # swallowed probe failure once shipped time_total=0 rows
+            print(f"[perf] backend {backend_name!r} failed: "
+                  f"{type(exc).__name__}: {exc}")
             continue
 
     times["PCSetUp"] = t_setup
