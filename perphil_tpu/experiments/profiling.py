@@ -11,16 +11,26 @@ reimplemented over JAX instead of PETSc's log API:
   - ``run_perf_sweep``                             (reference ``:803-854``)
   - ``save_perf_csv`` / ``save_perf_json``         (reference ``:857-877``)
 
-Backends (waterfall, reference ``:709-755``):
-  - ``events``: explicit stage timers around compiled calls with
-    ``block_until_ready`` (the reference's Events-API role). Per-event
-    times for MatMult/PCApply are measured directly on their compiled
-    kernels and scaled by iteration counts; KSPSolve/SNESSolve are true
-    wall times. FLOPs are analytic (stencil nnz / transform sizes) — XLA
-    has no runtime FLOP counters.
-  - ``trace``: like events, plus a ``jax.profiler`` trace dump for deep
-    dives (the '-log_view' analogue).
+Backends (waterfall, reference ``:709-755``; all five are real
+measurements, no estimated columns):
+  - ``events``: explicit stage timers around compiled calls (the
+    reference's Events-API role). Per-event times for MatMult/PCApply are
+    measured on their compiled kernels — ``reps`` applications chained
+    inside one ``lax.scan`` so tunnel dispatch latency cancels — and
+    scaled by iteration counts; KSPSolve/SNESSolve are true wall times.
+    FLOPs are analytic (stencil nnz / transform sizes) — XLA has no
+    runtime FLOP counters.
+  - ``trace``: per-event *device* times parsed from ``jax.profiler``
+    xplane dumps (the ``-log_view :json`` analogue): each probe and the
+    solve run inside their own trace; device-plane op durations are
+    summed. Excludes host/dispatch overhead entirely.
+  - ``stage``: coarse stage decomposition from wall clocks only
+    (PCSetUp vs KSPSolve vs total — PETSc's log-stage analogue); no
+    per-kernel probes.
   - ``wall``: wall-clock only, attributed to KSPSolve (reference ``:730``).
+  - ``auto``: waterfall events -> stage -> wall (reference tries
+    json/ascii/events/stage/wall, ``:709``); ``trace`` is opt-in because
+    profiler dumps cost seconds per case.
 
 Memory: peak/delta RSS via ``resource.getrusage`` (reference ``:450-458``)
 plus device memory stats and analytic operator/factor footprints standing in
@@ -283,7 +293,7 @@ def _block(x):
     return x
 
 
-def _time_compiled(fn: Callable, x, reps: int = 32) -> float:
+def _time_compiled(fn: Callable, x, reps: int = 32, device_time: bool = False) -> float:
     """Average wall time of one application of ``fn``.
 
     ``fn`` must map its input pytree to an identically-shaped output (true
@@ -308,9 +318,79 @@ def _time_compiled(fn: Callable, x, reps: int = 32) -> float:
 
     cfn = _lifted_jit(chain, x)
     _block(cfn(x))  # compile + warm
+    if device_time:
+        import tempfile
+
+        tracedir = tempfile.mkdtemp(prefix="perphil_trace_")
+        with jax.profiler.trace(tracedir):
+            _block(cfn(x))
+        return _trace_device_seconds(tracedir) / reps
     t0 = time.perf_counter()
     _block(cfn(x))
     return (time.perf_counter() - t0) / reps
+
+
+_TRACE_SKIP_PREFIXES = (
+    "threadpoollistener",
+    "thunkexecutor",
+    "end: ",
+    "$",  # python-frame events
+)
+
+
+def _trace_device_seconds(tracedir) -> float:
+    """Total device busy time (seconds) recorded in a ``jax.profiler``
+    xplane dump — the measured per-event source for the ``trace`` backend
+    (PETSc's ``-log_view :json`` analogue, reference
+    ``petsc_profiling.py:275-343``).
+
+    Device planes (``/device:TPU:0`` etc.): op-event durations are summed
+    per line and the busiest line taken (module- and op-level lines cover
+    the same interval). CPU runs have no device plane; XLA client executor
+    lines on the host plane play that role (wrapper/bookkeeping events
+    skipped). Raises RuntimeError when the dump has no execution events —
+    e.g. a device relay that does not export profiling planes — so the
+    backend waterfall can fall through.
+    """
+    import glob as _glob
+
+    from jax.profiler import ProfileData
+
+    total = 0.0
+    found = False
+    for path in _glob.glob(str(tracedir) + "/**/*.xplane.pb", recursive=True):
+        with open(path, "rb") as fh:
+            pd = ProfileData.from_serialized_xspace(fh.read())
+        for pl in pd.planes:
+            name = pl.name.lower()
+            if "/device:" in name or "tpu" in name or "gpu" in name:
+                best = 0.0
+                for ln in pl.lines:
+                    s = sum(e.duration_ns for e in ln.events) / 1e9
+                    best = max(best, s)
+                if best > 0.0:
+                    found = True
+                total += best
+            elif "/host:cpu" in name:
+                best = 0.0
+                for ln in pl.lines:
+                    if not ln.name.lower().startswith("tf_"):
+                        continue
+                    s = (
+                        sum(
+                            e.duration_ns
+                            for e in ln.events
+                            if not e.name.lower().startswith(_TRACE_SKIP_PREFIXES)
+                        )
+                        / 1e9
+                    )
+                    best = max(best, s)
+                if best > 0.0:
+                    found = True
+                total += best
+    if not found:
+        raise RuntimeError(f"no device execution events in trace dump {tracedir}")
+    return total
 
 
 def _matvec_probe(op: DPPOperator, g1, g2):
@@ -375,31 +455,48 @@ def _profile_with_events(
     approach: Approach,
     logical_events: List[str],
     repeats: int,
+    source: str = "events",
 ):
     """Explicit stage timing (the Events-API analogue, reference ``:275-343``).
 
     MatMult and PCApply are direct measurements of the compiled kernels the
     solve uses (df32-mode kernels on TPU), scaled by the number of
-    applications per solve; KSPSolve/SNESSolve are true wall times."""
+    applications per solve; KSPSolve/SNESSolve are true wall times. With
+    ``source="trace"`` every component time instead comes from device-plane
+    durations in ``jax.profiler`` dumps (:func:`_trace_device_seconds`)."""
+    device_time = source == "trace"
     times = {e: 0.0 for e in logical_events}
 
     # KSPSolve/SNESSolve: true wall time of the compiled solve
-    t0 = time.perf_counter()
-    for _ in range(max(1, repeats)):
-        out = solver(g1, g2)
-    _block(out)
-    wall = time.perf_counter() - t0
+    if device_time:
+        import tempfile
+
+        tracedir = tempfile.mkdtemp(prefix="perphil_trace_")
+        t0 = time.perf_counter()
+        with jax.profiler.trace(tracedir):
+            for _ in range(max(1, repeats)):
+                out = solver(g1, g2)
+            _block(out)
+        wall = time.perf_counter() - t0  # time_total stays wall-clock
+        solve_time = _trace_device_seconds(tracedir)  # event column: device
+    else:
+        t0 = time.perf_counter()
+        for _ in range(max(1, repeats)):
+            out = solver(g1, g2)
+        _block(out)
+        wall = time.perf_counter() - t0
+        solve_time = wall
     its = int(out[2])
 
     solve_event = "SNESSolve" if approach == Approach.PICARD_MUMPS else "KSPSolve"
-    times[solve_event] = wall
+    times[solve_event] = solve_time
     if approach == Approach.PICARD_MUMPS:
-        times["KSPSolve"] = wall  # inner linear work dominates
+        times["KSPSolve"] = solve_time  # inner linear work dominates
         times["SNESFunctionEval"] = 0.0
 
     # MatMult: one application per Krylov step + the initial residual
     mv, x = _matvec_probe(op, g1, g2)
-    t_mv = _time_compiled(mv, x)
+    t_mv = _time_compiled(mv, x, device_time=device_time)
     times["MatMult"] = t_mv * (its + 1) * max(1, repeats)
 
     # PCApply: measured on the standalone compiled PC (left preconditioning:
@@ -407,7 +504,7 @@ def _profile_with_events(
     probe = _pc_probe(op, approach, g1, g2)
     if probe is not None:
         pc_fn, pc_x = probe
-        t_pc = _time_compiled(pc_fn, pc_x)
+        t_pc = _time_compiled(pc_fn, pc_x, device_time=device_time)
         times["PCApply"] = t_pc * (its + 1) * max(1, repeats)
 
     return times, wall, its
@@ -471,7 +568,7 @@ def run_perf_once(
 
     rss_before_kb = _get_rss_kb()
 
-    backends = [backend] if backend != "auto" else ["events", "wall"]
+    backends = [backend] if backend != "auto" else ["events", "stage", "wall"]
     times = {e: 0.0 for e in logical_events}
     backend_used = "wall"
     wall_total = 0.0
@@ -479,21 +576,27 @@ def run_perf_once(
     for backend_name in backends:
         try:
             if backend_name in ("events", "trace"):
-                if backend_name == "trace":
-                    import tempfile
-
-                    tracedir = tempfile.mkdtemp(prefix="perphil_trace_")
-                    with jax.profiler.trace(tracedir):
-                        ev_times, wall, its = _profile_with_events(
-                            solver, g1, g2, op, approach, logical_events, repeats
-                        )
-                else:
-                    ev_times, wall, its = _profile_with_events(
-                        solver, g1, g2, op, approach, logical_events, repeats
-                    )
+                ev_times, wall, its = _profile_with_events(
+                    solver, g1, g2, op, approach, logical_events, repeats,
+                    source=backend_name,
+                )
                 times.update(ev_times)
                 backend_used = backend_name
                 wall_total = wall
+                break
+            elif backend_name == "stage":
+                # PETSc log-stage analogue: coarse phase decomposition from
+                # wall clocks only (setup stage captured in t_setup below)
+                t0 = time.perf_counter()
+                for _ in range(max(1, repeats)):
+                    out = solver(g1, g2)
+                _block(out)
+                wall_total = time.perf_counter() - t0
+                solve_event = (
+                    "SNESSolve" if approach == Approach.PICARD_MUMPS else "KSPSolve"
+                )
+                times[solve_event] = wall_total
+                backend_used = "stage"
                 break
             else:
                 t0 = time.perf_counter()

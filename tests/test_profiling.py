@@ -93,3 +93,19 @@ def test_run_perf_once_3d_hex():
     res = run_perf_once_3d(3, Approach.MONOLITHIC_MUMPS, repeats=1, hexahedral=True)
     assert res.metadata["element"] == "hex"
     assert res.iterations == 1
+
+
+@pytest.mark.parametrize("backend", ["trace", "stage"])
+def test_backend_variants_measure(backend):
+    """The trace backend sums real device-plane durations; the stage
+    backend decomposes wall clocks (reference backend waterfall,
+    petsc_profiling.py:709-755). Both must produce nonzero solve times
+    and the right backend tag."""
+    res = run_perf_once(4, 4, Approach.GMRES_ILU, repeats=2, backend=backend)
+    assert res.metadata["backend"] == backend
+    assert res.time_total > 0.0
+    assert res.times["KSPSolve"] > 0.0
+    if backend == "trace":
+        # per-event device times present for a preconditioned solve
+        assert res.times["MatMult"] > 0.0
+        assert res.times["PCApply"] > 0.0
