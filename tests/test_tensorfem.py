@@ -135,3 +135,46 @@ def test_qp_convergence_orders(p, l2_order, h1_order):
     eoc_h1 = np.log(errs_h1[0] / errs_h1[1]) / np.log(hs[0] / hs[1])
     assert abs(eoc_l2 - (p + 1)) < 0.35
     assert abs(eoc_h1 - p) < 0.35
+
+
+@pytest.mark.parametrize("sp_name", ["direct", "fieldsplit"])
+def test_q2_solve_dpp_end_to_end(sp_name):
+    """Full user-facing flow at degree 2: solve_dpp on Q2 spaces converges
+    at order 3 in L2 (manufactured solution), and the fieldsplit-LU
+    signature (4 GMRES iterations, reference conditioning study invariant)
+    survives the degree change."""
+    from perphil_tpu.forms.spaces import FunctionSpace, mixed_space
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.solvers import solve_dpp
+    from perphil_tpu.solvers.parameters import LINEAR_SOLVER_PARAMS
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+    from perphil_tpu.utils.postprocessing import l2_error
+
+    if sp_name == "direct":
+        sp = LINEAR_SOLVER_PARAMS
+    else:
+        sp = {
+            "ksp_type": "gmres",
+            "ksp_rtol": 1e-8,
+            "pc_type": "fieldsplit",
+            "pc_fieldsplit_type": "multiplicative",
+        }
+    params = DPPParameters()
+    errs, hs, its = [], [], []
+    for N in (4, 8):
+        mesh = create_mesh(N, N)
+        V2 = FunctionSpace(mesh, degree=2)
+        W = mixed_space(V2)
+        _, p1e, _, p2e = exact_expressions(mesh, params)
+        bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+        sol = solve_dpp(W, params, bcs, solver_parameters=sp)
+        p1h, _ = sol.solution.split()
+        errs.append(l2_error(p1h, p1e))
+        hs.append(mesh.hmax())
+        its.append(sol.iteration_number)
+    eoc = np.log(errs[0] / errs[1]) / np.log(hs[0] / hs[1])
+    assert eoc > 2.5, (errs, eoc)
+    if sp_name == "fieldsplit":
+        assert its == [4, 4], its
+    else:
+        assert its == [1, 1], its
