@@ -199,11 +199,23 @@ class PerfResult:
         return base
 
 
-KSP_CHUNK = 2010  # 67 GMRES(30) cycles: chunk boundaries coincide with
-# restarts, so chunked trajectories are identical to uninterrupted ones.
-# Needed because long-running single executions fault/crash the TPU worker
-# (observed at 2D nx=256 plain GMRES with both 42k-it and ~30s-per-chunk
-# programs); ~8 s per execution is reliably under the limit.
+def _env_int(name: str, default: int) -> int:
+    import os
+
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+KSP_CHUNK = _env_int("PERPHIL_TPU_KSP_CHUNK", 2010)
+# 67 GMRES(30) cycles: chunk boundaries coincide with restarts, so chunked
+# trajectories are identical to uninterrupted ones. Needed because
+# long-running single executions fault/crash the TPU worker (observed at 2D
+# nx=256 plain GMRES with both 42k-it and ~30s-per-chunk programs); ~8 s
+# per execution is reliably under this host's limit. Other deployments tune
+# via PERPHIL_TPU_KSP_CHUNK (any multiple of the restart length preserves
+# the trajectory exactly).
 
 
 def build_chunked_plain_solver(W, params, sp_dict, chunk: int = KSP_CHUNK):
@@ -243,8 +255,11 @@ def build_chunked_plain_solver(W, params, sp_dict, chunk: int = KSP_CHUNK):
     return solve
 
 
-NGS_CHUNK = 500  # pointwise-GS sweeps per device execution (Picard runs at
-# N=128 need ~5k sweeps — one while_loop would exceed the execution limit)
+NGS_CHUNK = _env_int("PERPHIL_TPU_NGS_CHUNK", 500)
+# pointwise-GS sweeps per device execution (Picard runs at N=128 need ~5k
+# sweeps — one while_loop would exceed the execution limit). Sweeps are
+# memoryless given the iterate, so ANY chunk size is bit-equivalent; tune
+# per deployment via PERPHIL_TPU_NGS_CHUNK.
 
 
 def build_chunked_ngs_solver(W, params, sp_dict, chunk: int = NGS_CHUNK):
