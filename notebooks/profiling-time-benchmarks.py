@@ -14,6 +14,13 @@
 import os
 from pathlib import Path
 
+if os.environ.get("PERPHIL_PLOTS_ONLY"):
+    # plots-only mode never executes solves; keep the backend off the
+    # (possibly busy) shared TPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import pandas as pd
 
 from perphil_tpu.experiments.iterative_bench import Approach
@@ -35,12 +42,18 @@ APPROACHES = [
 ]
 
 # %%
-rows = []
-for n in SIZES:
-    for ap in APPROACHES:
-        rows.extend(run_perf_sweep([n], approaches=[ap], repeats=5, backend="events"))
-        save_perf_csv(rows, OUT / "petsc_perf_breakdown.csv")  # incremental
-df = pd.DataFrame(rows)
+# PERPHIL_PLOTS_ONLY=1 re-renders every figure from the committed CSV
+# without re-running the (hours-long) TPU sweep.
+if os.environ.get("PERPHIL_PLOTS_ONLY"):
+    df = pd.read_csv(OUT / "petsc_perf_breakdown.csv")
+    rows = df.to_dict("records")
+else:
+    rows = []
+    for n in SIZES:
+        for ap in APPROACHES:
+            rows.extend(run_perf_sweep([n], approaches=[ap], repeats=5, backend="events"))
+            save_perf_csv(rows, OUT / "petsc_perf_breakdown.csv")  # incremental
+    df = pd.DataFrame(rows)
 print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index=False))
 
 # %% [markdown]
@@ -48,10 +61,11 @@ print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index
 # `petsc_perf_breakdown-with-picard.csv`)
 
 # %%
-PICARD_SIZES = [s for s in SIZES if s <= 128]
-rows_p = run_perf_sweep(PICARD_SIZES, approaches=[Approach.PICARD_MUMPS], repeats=1,
-                        backend="events")
-save_perf_csv(rows + rows_p, OUT / "petsc_perf_breakdown-with-picard.csv")
+if not os.environ.get("PERPHIL_PLOTS_ONLY"):
+    PICARD_SIZES = [s for s in SIZES if s <= 128]
+    rows_p = run_perf_sweep(PICARD_SIZES, approaches=[Approach.PICARD_MUMPS], repeats=1,
+                            backend="events")
+    save_perf_csv(rows + rows_p, OUT / "petsc_perf_breakdown-with-picard.csv")
 
 # %% [markdown]
 # ## Stacked time breakdown & memory plots
