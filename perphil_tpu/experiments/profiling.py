@@ -47,6 +47,7 @@ from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import perphil_tpu
@@ -324,10 +325,22 @@ def _time_compiled(fn: Callable, x, reps: int = 32, device_time: bool = False) -
 
     from perphil_tpu.solvers.solver import _lifted_jit
 
-    def chain(v):
-        def body(c, _):
-            return fn(c), None
+    def _renorm(t):
+        # Chained applications of an operator with ||op|| far from 1 blow
+        # through the f32 range within a few reps; inf/NaN inputs then drive
+        # inner solver loops to their iteration caps (and once faulted the
+        # shared TPU device with an over-long execution). All probed
+        # operators are linear, so rescaling between reps changes nothing
+        # about per-application cost.
+        leaves = jax.tree_util.tree_leaves(t)
+        m = jnp.max(jnp.stack([jnp.max(jnp.abs(l)) for l in leaves]))
+        s = jnp.where((m > 0) & jnp.isfinite(m), 1.0 / m, 1.0).astype(leaves[0].dtype)
+        return jax.tree_util.tree_map(lambda l: l * s, t)
 
+    def body(c, _):
+        return _renorm(fn(c)), None
+
+    def chain(v):
         out, _ = lax.scan(body, v, None, length=reps)
         return out
 

@@ -172,7 +172,16 @@ def gmres(
         gm = jnp.where(col < j, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
         x = x + basis_comb(y, V[:m])
-        done = (rnorm <= tol) | (its >= max_it) | (rnorm > div)
+        # PETSc returns KSP_DIVERGED_NANORINF on a non-finite residual;
+        # without this guard a NaN makes the inner loop exit without
+        # iterating while `done` stays False -> an unbounded on-device
+        # outer loop (observed to fault the shared TPU via the
+        # execution-time limit). j == 0 is the same belt-and-braces:
+        # an inner loop that made no progress can never set done.
+        done = (
+            (rnorm <= tol) | (its >= max_it) | (rnorm > div)
+            | ~jnp.isfinite(rnorm) | (j == 0)
+        )
         return x, its, rnorm, done
 
     def outer_cond(state):
@@ -335,7 +344,16 @@ def gmres_df(
         from perphil_tpu.ops.dfvec import df_vec_add
 
         x = df_vec_add(x, upd)
-        done = (rnorm <= tol) | (its >= max_it) | (rnorm > div)
+        # PETSc returns KSP_DIVERGED_NANORINF on a non-finite residual;
+        # without this guard a NaN makes the inner loop exit without
+        # iterating while `done` stays False -> an unbounded on-device
+        # outer loop (observed to fault the shared TPU via the
+        # execution-time limit). j == 0 is the same belt-and-braces:
+        # an inner loop that made no progress can never set done.
+        done = (
+            (rnorm <= tol) | (its >= max_it) | (rnorm > div)
+            | ~jnp.isfinite(rnorm) | (j == 0)
+        )
         return x, its, rnorm, done
 
     def outer_cond(state):
