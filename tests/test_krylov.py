@@ -81,3 +81,23 @@ def test_cgs2_preserves_iteration_counts():
                reorthogonalize=True)
     assert int(r1.iterations) == int(r2.iterations)
     assert np.allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-8)
+
+
+def test_gmres_terminates_on_nan():
+    """A non-finite residual must terminate the solve (PETSc's
+    KSP_DIVERGED_NANORINF), not spin the outer restart loop forever —
+    an unbounded on-device loop faults shared TPU devices."""
+    from perphil_tpu.ops.df32 import df_from_f64
+    from perphil_tpu.ops.krylov import gmres_df
+
+    b = jnp.ones(8)
+    res = gmres(lambda v: v * jnp.nan, b, rtol=1e-10, max_it=50)
+    assert not bool(res.converged)
+
+    res_df = gmres_df(
+        lambda v: (v[0] * jnp.float32(jnp.nan), v[1]),
+        df_from_f64(b),
+        rtol=1e-10,
+        max_it=50,
+    )
+    assert not bool(res_df.converged)
