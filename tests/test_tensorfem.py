@@ -178,3 +178,34 @@ def test_q2_solve_dpp_end_to_end(sp_name):
         assert its == [4, 4], its
     else:
         assert its == [1, 1], its
+
+
+def test_q2_gmres_jacobi_matches_direct():
+    """Degree-2 GMRES+Jacobi converges to the fast-diag direct answer
+    (validates the tensor-product diagonal construction end to end)."""
+    from perphil_tpu.forms.spaces import FunctionSpace, mixed_space
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.solvers import solve_dpp
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+    from perphil_tpu.utils.postprocessing import l2_error
+
+    params = DPPParameters()
+    mesh = create_mesh(8, 8)
+    V2 = FunctionSpace(mesh, degree=2)
+    W = mixed_space(V2)
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    s = solve_dpp(
+        W, params, bcs,
+        solver_parameters={"ksp_type": "gmres", "ksp_rtol": 1e-10,
+                           "ksp_max_it": 5000, "pc_type": "jacobi"},
+    )
+    sd = solve_dpp(
+        W, params, bcs,
+        solver_parameters={"ksp_type": "preonly", "pc_type": "lu"},
+    )
+    p1h, _ = s.solution.split()
+    p1d, _ = sd.solution.split()
+    e, ed = l2_error(p1h, p1e), l2_error(p1d, p1e)
+    assert abs(e - ed) < 1e-6 * ed
+    assert s.iteration_number < 200  # jacobi must actually precondition
