@@ -141,17 +141,30 @@ def sharded_solve_dpp(
     from perphil_tpu.solvers.solver import Solution, _build_linear_solver, _freeze
 
     g1, g2 = bc_values_per_field(W, bcs)
-    padding = mesh_padding(W.mesh.node_shape, dmesh)
+    # DoFs live on the (possibly p-refined) lattice — pad/crop THAT grid
+    dof_shape = W.spaces[0].dof_mesh.node_shape
+    padding = mesh_padding(dof_shape, dmesh)
+    if any(padding) and W.spaces[0].degree > 1:
+        raise NotImplementedError(
+            "degree>1 sharded solves need a divisibility-matched DoF "
+            f"lattice {dof_shape} (phantom padding is wired for the "
+            "stencil/Q1 path only); choose N so p*N+1 divides the mesh axes"
+        )
     if any(padding):
         pads = [(0, p) for p in padding]
         g1 = jnp.pad(g1, pads)
         g2 = jnp.pad(g2, pads)
     g1 = shard_grid(g1, dmesh)
     g2 = shard_grid(g2, dmesh)
-    solver = _build_linear_solver(W, model_params, _freeze(solver_parameters), padding)
+    if W.spaces[0].degree > 1:
+        from perphil_tpu.solvers.solver import _build_tensor_linear_solver
+
+        solver = _build_tensor_linear_solver(W, model_params, _freeze(solver_parameters))
+    else:
+        solver = _build_linear_solver(W, model_params, _freeze(solver_parameters), padding)
     z1, z2, its, rnorm = solver(g1, g2)
     if any(padding):
-        crop = tuple(slice(0, n) for n in W.mesh.node_shape)
+        crop = tuple(slice(0, n) for n in dof_shape)
         if jax.process_count() > 1:
             # non-addressable global arrays can't be sliced on the host;
             # crop inside a jitted program (XLA repartitions the result)
