@@ -92,3 +92,25 @@ def test_sharded_3d_direct_solve():
     for a, b in zip(sol.solution.data, ref.solution.data):
         scale = np.abs(np.asarray(b)).max()
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-10
+
+
+def test_degree2_sharded_rejects_padding_clearly():
+    """Degree-p DoF lattices (p*N+1 nodes) are odd for even p — phantom
+    padding is Q1-only, so the sharded path must fail loudly, not
+    mis-build the stencil solver on the wrong lattice."""
+    import pytest
+
+    from perphil_tpu.forms.spaces import FunctionSpace, mixed_space
+    from perphil_tpu.models.dpp.parameters import DPPParameters
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+    mesh = create_mesh(8, 8)
+    V2 = FunctionSpace(mesh, degree=2)
+    W = mixed_space(V2)
+    params = DPPParameters()
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    dm = device_mesh([4, 2], axis_names=("y", "x"))
+    with pytest.raises(NotImplementedError, match="lattice"):
+        sharded_solve_dpp(W, params, bcs, dm, {"ksp_type": "preonly", "pc_type": "lu"})
