@@ -15,6 +15,11 @@
 import os
 from pathlib import Path
 
+if os.environ.get("PERPHIL_PLOTS_ONLY"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import pandas as pd
 
 from perphil_tpu.experiments.iterative_bench import Approach
@@ -36,11 +41,16 @@ APPROACHES = [
 ]
 
 # %%
-rows = []
-for n in SIZES:
-    rows.extend(run_perf_sweep_3d([n], approaches=APPROACHES, repeats=3, backend="events"))
-    save_perf_csv(rows, OUT / "petsc_perf_breakdown_3d.csv")  # incremental
-df = pd.DataFrame(rows)
+# PERPHIL_PLOTS_ONLY=1 re-renders the figures from the committed CSV
+# without re-running the (hours-long) TPU sweep.
+if os.environ.get("PERPHIL_PLOTS_ONLY"):
+    df = pd.read_csv(OUT / "petsc_perf_breakdown_3d.csv")
+else:
+    rows = []
+    for n in SIZES:
+        rows.extend(run_perf_sweep_3d([n], approaches=APPROACHES, repeats=3, backend="events"))
+        save_perf_csv(rows, OUT / "petsc_perf_breakdown_3d.csv")  # incremental
+    df = pd.DataFrame(rows)
 print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index=False))
 
 # %%
