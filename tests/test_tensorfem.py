@@ -209,3 +209,36 @@ def test_q2_gmres_jacobi_matches_direct():
     e, ed = l2_error(p1h, p1e), l2_error(p1d, p1e)
     assert abs(e - ed) < 1e-6 * ed
     assert s.iteration_number < 200  # jacobi must actually precondition
+
+
+def test_q2_3d_hex_solve():
+    """Degree-2 on 3D hex meshes: the Kronecker machinery is
+    dimension-generic. Exact direct solve + higher order than Q1 at the
+    same sizes (both pre-asymptotic on the boundary-layer MMS)."""
+    from perphil_tpu.forms.spaces import FunctionSpace, mixed_space
+    from perphil_tpu.mesh.structured import create_cube_mesh
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.solvers import solve_dpp
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+    from perphil_tpu.utils.postprocessing import l2_error
+
+    params = DPPParameters()
+    errs = {}
+    for deg in (1, 2):
+        errs[deg] = []
+        for N in (2, 4):
+            mesh = create_cube_mesh(N, N, N, hexahedral=True)
+            V = FunctionSpace(mesh, degree=deg)
+            W = mixed_space(V)
+            _, p1e, _, p2e = exact_expressions_3d(mesh, params)
+            bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+            s = solve_dpp(
+                W, params, bcs,
+                solver_parameters={"ksp_type": "preonly", "pc_type": "lu"},
+            )
+            assert s.iteration_number == 1
+            p1h, _ = s.solution.split()
+            errs[deg].append(l2_error(p1h, p1e))
+    # Q2 beats Q1 at every size and converges faster
+    assert errs[2][0] < errs[1][0] and errs[2][1] < errs[1][1]
+    assert errs[2][0] / errs[2][1] > errs[1][0] / errs[1][1]
