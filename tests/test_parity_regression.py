@@ -79,6 +79,19 @@ def test_gmres_ilu_iterations_match_reference(N, expected):
     assert sol.iteration_number == expected
 
 
+def test_gmres_ilu_n64_exact_in_f64_parity_mode(monkeypatch):
+    """The default f32 ILU application drifts +1 at N=64 (43 vs 42);
+    PERPHIL_TPU_ILU_DTYPE=float64 is the documented exact-parity mode and
+    must reproduce the reference count (convergence.csv row N=64)."""
+    monkeypatch.setenv("PERPHIL_TPU_ILU_DTYPE", "float64")
+    from perphil_tpu.solvers.solver import _build_linear_solver
+
+    _build_linear_solver.cache_clear()  # cache key does not include the env
+    mesh, W, params, bcs, *_ = _setup(64)
+    sol = solve_dpp(W, params, bcs, solver_parameters=sp.GMRES_ILU_PARAMS)
+    assert sol.iteration_number == 42
+
+
 @pytest.mark.parametrize("N,ref_its", [(4, 16), (8, 63), (16, 194)])
 def test_picard_ngs_iterations_near_reference(N, ref_its):
     """Pointwise GS is DoF-ordering dependent (Firedrake numbers via DMPlex,
