@@ -15,6 +15,17 @@
 import os
 from pathlib import Path
 
+# This is a PARITY artifact generator: counts/errors must reproduce the
+# reference's CPU/PETSc CSVs digit-for-digit, so pin the exact-parity
+# arithmetic (CPU, native float64, f64 ILU application) regardless of
+# attached accelerators — the TPU production mode (double-float Krylov,
+# f32 ILU) legitimately differs by ±2 iterations at a few sizes.
+os.environ.setdefault("PERPHIL_TPU_ILU_DTYPE", "float64")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 import pandas as pd
 
@@ -109,3 +120,78 @@ print(piv.to_string())
 spread = float((piv.max() - piv.min()).max())
 print("max EOC spread across solvers:", spread)
 assert spread < 0.02, "a solver is polluting the discretization error"
+
+# %% [markdown]
+# ## Solution structure: slice along x = 0.5 (reference `2d-convergence.py:238-274`)
+#
+# The manufactured p1 has an `exp(eta*y)` boundary-layer factor — visible as
+# the sharp gradient near y=1 that drives the H1 error and the conditioning
+# growth studied in the condition-number notebooks.
+
+# %%
+from perphil_tpu.forms.spaces import create_function_spaces, mixed_space
+from perphil_tpu.mesh.structured import create_mesh
+from perphil_tpu.ops.assembly import DirichletBC
+from perphil_tpu.solvers import solve_dpp
+from perphil_tpu.solvers.parameters import LINEAR_SOLVER_PARAMS
+from perphil_tpu.utils.manufactured_solutions import exact_expressions
+from perphil_tpu.utils.postprocessing import slice_along_x, split_dpp_solution
+
+mesh_s = create_mesh(64, 64)
+_, V_s = create_function_spaces(mesh_s)
+W_s = mixed_space(V_s)
+_, p1e_s, _, p2e_s = exact_expressions(mesh_s, params)
+bcs_s = [DirichletBC(W_s.sub(0), p1e_s), DirichletBC(W_s.sub(1), p2e_s)]
+sol_s = solve_dpp(W_s, params, bcs_s, solver_parameters=LINEAR_SOLVER_PARAMS)
+p1h_s, p2h_s = split_dpp_solution(sol_s.solution)
+ys, vals1 = slice_along_x(p1h_s, 0.5)
+_, vals2 = slice_along_x(p2h_s, 0.5)
+
+fig, axs = plt.subplots(1, 2, figsize=(10, 4))
+axs[0].plot(ys, vals1, label="p1_h(0.5, y)")
+axs[0].set_xlabel("y"); axs[0].set_ylabel("p1"); axs[0].grid(True, ls=":")
+axs[0].legend(); axs[0].set_title("macro pressure slice (boundary layer at y=1)")
+axs[1].plot(ys, vals2, "C1", label="p2_h(0.5, y)")
+axs[1].set_xlabel("y"); axs[1].set_ylabel("p2"); axs[1].grid(True, ls=":")
+axs[1].legend(); axs[1].set_title("micro pressure slice")
+fig.tight_layout()
+fig.savefig(OUT / "pressure_slices.png", dpi=150)
+print("wrote", OUT / "pressure_slices.png")
+
+# %% [markdown]
+# ## Beyond the reference: degree-p convergence (Qp tensor-product spaces)
+#
+# The reference accepts arbitrary degree through Firedrake but publishes
+# only degree-1 artifacts. The TPU rebuild's Kronecker-structured Qp path
+# (`ops/tensorfem`) delivers the expected higher orders; this writes
+# `convergence_qp.csv` documenting them.
+
+# %%
+from perphil_tpu.forms.spaces import FunctionSpace
+from perphil_tpu.utils.postprocessing import h1_seminorm_error, l2_error
+
+qp_rows = []
+QP_NS = [4, 8, 16] if not os.environ.get("PERPHIL_FAST") else [4, 8]
+for degree in (2, 3):
+    for N in QP_NS:
+        mesh_p = create_mesh(N, N)
+        Vp = FunctionSpace(mesh_p, degree=degree)
+        Wp = mixed_space(Vp)
+        _, p1e_p, _, p2e_p = exact_expressions(mesh_p, params)
+        bcs_p = [DirichletBC(Wp.sub(0), p1e_p), DirichletBC(Wp.sub(1), p2e_p)]
+        sol_p = solve_dpp(Wp, params, bcs_p, solver_parameters=LINEAR_SOLVER_PARAMS)
+        p1h_p, _ = sol_p.solution.split()
+        qp_rows.append(
+            dict(N=N, h=1.0 / N, degree=degree,
+                 e1_L2=l2_error(p1h_p, p1e_p),
+                 e1_H1s=h1_seminorm_error(p1h_p, p1e_p))
+        )
+qp = pd.DataFrame(qp_rows)
+for degree in (2, 3):
+    sel = qp[qp.degree == degree]
+    eoc_l2 = np.polyfit(np.log(sel.h), np.log(sel.e1_L2), 1)[0]
+    eoc_h1 = np.polyfit(np.log(sel.h), np.log(sel.e1_H1s), 1)[0]
+    print(f"Q{degree}: EOC L2={eoc_l2:.3f} (expect {degree+1}), "
+          f"H1s={eoc_h1:.3f} (expect {degree})")
+qp.to_csv(OUT / "convergence_qp.csv", index=False)
+print("wrote", OUT / "convergence_qp.csv")
