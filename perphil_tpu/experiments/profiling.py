@@ -150,10 +150,13 @@ def _analytic_flops(mesh, its: int, approach: Approach) -> Dict[str, float]:
     fastdiag_1 = 2 * 2 * d * 2.0 * (m ** (d + 1))  # 2 fields, fwd+bwd, d matmuls
     flops = {e: 0.0 for e in DEFAULT_LOGICAL_EVENTS}
     flops["MatMult"] = matmult_1 * max(its, 1)
-    if approach in (Approach.SS_GMRES, Approach.SS_GMRES_ILU, Approach.MONOLITHIC_MUMPS):
+    if approach in (Approach.SS_GMRES, Approach.MONOLITHIC_MUMPS):
         flops["PCApply"] = fastdiag_1 * max(its, 1)
-    elif approach == Approach.GMRES_ILU:
-        flops["PCApply"] = matmult_1 * max(its, 1)  # L/U sweeps ~ one matvec
+    elif approach in (Approach.GMRES_ILU, Approach.SS_GMRES_ILU):
+        # ILU(0) L/U sweeps touch the same nnz as one matvec — true for the
+        # monolithic ILU PC and for SS_GMRES_ILU's per-block ILU sweeps
+        # (2 blocks x half the rows each)
+        flops["PCApply"] = matmult_1 * max(its, 1)
     flops["KSPSolve"] = flops["MatMult"] + flops["PCApply"] + 4.0 * (2 * n) * max(its, 1)
     return flops
 
@@ -249,7 +252,19 @@ def build_chunked_plain_solver(W, params, sp_dict, chunk: int = KSP_CHUNK):
         z1, z2, its, rnorm = first(g1, g2)
         total = int(its)
         while float(rnorm) > tol and total < max_total:
-            z1, z2, its, rnorm = cont(g1, g2, z1, z2, tol)
+            rem = max_total - total
+            if rem < chunk:
+                # clamp the final chunk to the remaining budget — PETSc
+                # stops hard at ksp_max_it, and the parity-critical
+                # `iterations` column must not overshoot it
+                step = _build_linear_solver(
+                    W,
+                    params,
+                    _freeze({**base, "ksp_max_it": rem, "_x0_continuation": True}),
+                )
+            else:
+                step = cont
+            z1, z2, its, rnorm = step(g1, g2, z1, z2, tol)
             total += int(its)
         return z1, z2, total, rnorm
 
@@ -291,7 +306,18 @@ def build_chunked_ngs_solver(W, params, sp_dict, chunk: int = NGS_CHUNK):
         z1, z2, its, fn = first(g1, g2)
         total = int(its)
         while float(fn) > tol and total < max_total:
-            z1, z2, its, fn = cont(g1, g2, z1, z2, tol)
+            rem = max_total - total
+            if rem < chunk:
+                # clamp the final chunk to the remaining sweep budget
+                # (SNES stops hard at snes_max_it)
+                step = _build_nonlinear_solver(
+                    W,
+                    params,
+                    _freeze({**base, "snes_max_it": rem, "_x0_continuation": True}),
+                )
+            else:
+                step = cont
+            z1, z2, its, fn = step(g1, g2, z1, z2, tol)
             total += int(its)
         return z1, z2, total, fn
 
@@ -347,12 +373,16 @@ def _time_compiled(fn: Callable, x, reps: int = 32, device_time: bool = False) -
     cfn = _lifted_jit(chain, x)
     _block(cfn(x))  # compile + warm
     if device_time:
+        import shutil
         import tempfile
 
         tracedir = tempfile.mkdtemp(prefix="perphil_trace_")
-        with jax.profiler.trace(tracedir):
-            _block(cfn(x))
-        return _trace_device_seconds(tracedir) / reps
+        try:
+            with jax.profiler.trace(tracedir):
+                _block(cfn(x))
+            return _trace_device_seconds(tracedir) / reps
+        finally:
+            shutil.rmtree(tracedir, ignore_errors=True)
     t0 = time.perf_counter()
     _block(cfn(x))
     return (time.perf_counter() - t0) / reps
@@ -497,16 +527,20 @@ def _profile_with_events(
 
     # KSPSolve/SNESSolve: true wall time of the compiled solve
     if device_time:
+        import shutil
         import tempfile
 
         tracedir = tempfile.mkdtemp(prefix="perphil_trace_")
-        t0 = time.perf_counter()
-        with jax.profiler.trace(tracedir):
-            for _ in range(max(1, repeats)):
-                out = solver(g1, g2)
-            _block(out)
-        wall = time.perf_counter() - t0  # time_total stays wall-clock
-        solve_time = _trace_device_seconds(tracedir)  # event column: device
+        try:
+            t0 = time.perf_counter()
+            with jax.profiler.trace(tracedir):
+                for _ in range(max(1, repeats)):
+                    out = solver(g1, g2)
+                _block(out)
+            wall = time.perf_counter() - t0  # time_total stays wall-clock
+            solve_time = _trace_device_seconds(tracedir)  # event column: device
+        finally:
+            shutil.rmtree(tracedir, ignore_errors=True)
     else:
         t0 = time.perf_counter()
         for _ in range(max(1, repeats)):
@@ -522,18 +556,32 @@ def _profile_with_events(
         times["KSPSolve"] = solve_time  # inner linear work dominates
         times["SNESFunctionEval"] = 0.0
 
-    # MatMult: one application per Krylov step + the initial residual
+    # Applications per solve. Restarted GMRES(30) performs one application
+    # per Krylov step PLUS one per restart cycle (the cycle's initial
+    # residual / preconditioned residual) — ceil(its/30) cycles, which
+    # reduces to the familiar its+1 within a single cycle. Non-Krylov
+    # drivers (preonly direct, Picard sweeps) get its+1.
+    gmres_like = approach in (
+        Approach.PLAIN_GMRES,
+        Approach.GMRES_ILU,
+        Approach.SS_GMRES,
+        Approach.SS_GMRES_ILU,
+    )
+    ncyc = max(1, -(-its // 30)) if gmres_like else 1
+    napp = its + ncyc
+
+    # MatMult: measured on the compiled operator the solve uses
     mv, x = _matvec_probe(op, g1, g2)
     t_mv = _time_compiled(mv, x, device_time=device_time)
-    times["MatMult"] = t_mv * (its + 1) * max(1, repeats)
+    times["MatMult"] = t_mv * napp * max(1, repeats)
 
     # PCApply: measured on the standalone compiled PC (left preconditioning:
-    # one application per iteration + one per residual/restart)
+    # same application count as MatMult)
     probe = _pc_probe(op, approach, g1, g2)
     if probe is not None:
         pc_fn, pc_x = probe
         t_pc = _time_compiled(pc_fn, pc_x, device_time=device_time)
-        times["PCApply"] = t_pc * (its + 1) * max(1, repeats)
+        times["PCApply"] = t_pc * napp * max(1, repeats)
 
     return times, wall, its
 
@@ -597,6 +645,12 @@ def run_perf_once(
     rss_before_kb = _get_rss_kb()
 
     backends = [backend] if backend != "auto" else ["events", "stage", "wall"]
+    if backends[-1] != "wall":
+        # Always terminate the waterfall with the plain wall measurement:
+        # an explicitly requested backend whose probe fails must still ship
+        # a real time_total (and truthful metadata), never a zero row
+        # claiming backend="wall" without a wall measurement having run.
+        backends = backends + ["wall"]
     times = {e: 0.0 for e in logical_events}
     backend_used = "wall"
     wall_total = 0.0

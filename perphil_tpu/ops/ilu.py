@@ -375,9 +375,16 @@ class DirTriSolve:
                 nrm((-1, 0)), nrm((-1, -1)), nrm((0, -1)), nrm((1, -1))
             )
         else:
-            plane = GridTriSolve2D(
-                nrm((-1, 0, 0)), nrm((-1, -1, 0)), nrm((0, -1, 0)), nrm((1, -1, 0))
-            )
+            from perphil_tpu.ops import partri
+
+            # Build the plane solver FULL precision even under a bf16
+            # weight-dtype scope: GridTriSolve3D densifies its plane maps
+            # through plane.apply, and that composition must run in f32
+            # (the 3D solver truncates the plane's stored maps afterwards).
+            with partri.weight_dtype(None):
+                plane = GridTriSolve2D(
+                    nrm((-1, 0, 0)), nrm((-1, -1, 0)), nrm((0, -1, 0)), nrm((1, -1, 0))
+                )
             bz = {
                 (dx, dy): nrm((dx, dy, -1)) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
             }

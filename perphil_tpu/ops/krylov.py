@@ -9,7 +9,8 @@ PETSc so iteration counts reproduce:
   - left preconditioning with the preconditioned-residual norm,
   - default convergence test ``rnorm <= max(rtol * rnorm0, atol)`` with
     ``rnorm0`` the initial (preconditioned) residual norm, and divergence
-    at ``rnorm > 1e5 * rnorm0`` (``KSPConvergedDefault``),
+    at ``rnorm > 1e4 * rnorm0`` (``KSPConvergedDefault``'s divtol default,
+    ``DEFAULT_DTOL`` below),
   - iteration counts reported like ``ksp.getIterationNumber()``
     (``solvers/solver.py:73-74``).
 

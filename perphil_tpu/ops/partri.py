@@ -98,12 +98,12 @@ def _matmat(a, b):
 def _matvec(a, v):
     # (k, *B, i, j) @ (k, *B, j) -> (k, *B, i)
     if a.dtype == jnp.bfloat16:
-        # bf16 weights: native MXU bf16 multiply with f32 accumulation
+        # bf16 STORED maps only: the recurrence state stays f32 (the
+        # _weight_dtype contract). The bf16->f32 convert fuses into the
+        # dot, so the dominant HBM traffic (the (m,m) maps) stays bf16
+        # while accumulation and the carried state are f32.
         return jnp.einsum(
-            "...ij,...j->...i",
-            a,
-            v.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
+            "...ij,...j->...i", a, v, preferred_element_type=jnp.float32
         )
     return jnp.einsum("...ij,...j->...i", a, v, precision=_PREC)
 
@@ -180,6 +180,15 @@ class AffineChainScan:
         if wd is not None and not self.scalar:
             # compositions above ran in full f32; only the STORED maps are
             # truncated (see _weight_dtype)
+            self.level_mats = [
+                (e.astype(wd), o.astype(wd)) for e, o in self.level_mats
+            ]
+
+    def cast_weights(self, wd) -> None:
+        """Truncate the STORED maps to ``wd`` after the fact (used when
+        compositions must run in full precision before storage-dtype
+        truncation, e.g. the 3D plane-map densification)."""
+        if wd is not None and not self.scalar:
             self.level_mats = [
                 (e.astype(wd), o.astype(wd)) for e, o in self.level_mats
             ]
@@ -277,6 +286,11 @@ class GridTriSolve2D:
         M = jnp.moveaxis(M, len(self.batch), 0)
         self.chain = AffineChainScan(M)
 
+    def cast_weights(self, wd) -> None:
+        """Truncate stored chain maps to ``wd`` (row scans are scalar and
+        stay full precision regardless)."""
+        self.chain.cast_weights(wd)
+
     def tree_flatten(self):
         return (self.row_scan, self.chain), (self.batch, self.ny, self.nx)
 
@@ -299,10 +313,6 @@ class GridTriSolve2D:
         g_y_first = jnp.moveaxis(g, -2, 0)  # (ny, *batch, nx)
         x = self.chain.apply(g_y_first)
         return jnp.moveaxis(x, 0, -2)
-
-
-# offsets (dx, dy) of a dense 3x3 cross-row coupling, coordinate-ordered
-_CROSS3 = (-1, 0, 1)
 
 
 class GridTriSolve3D:
@@ -348,6 +358,13 @@ class GridTriSolve3D:
         Mcols = jax.vmap(self.plane2d.apply)(Bcols)  # [col, z] -> T_z B_z e_col
         M = jnp.transpose(Mcols.reshape(m2, nz, m2), (1, 2, 0))  # (nz, row, col)
         self.chain = AffineChainScan(M)
+        wd = _weight_dtype()
+        if wd is not None:
+            # The densification above must compose in full f32, so callers
+            # pass a FULL-precision plane solver (DirTriSolve builds it under
+            # ``weight_dtype(None)``); truncate its stored maps only now that
+            # the plane-map composition is done.
+            self.plane2d.cast_weights(wd)
 
     def tree_flatten(self):
         return (self.plane2d, self.chain), (self.nz, self.ny, self.nx)

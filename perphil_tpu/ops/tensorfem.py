@@ -325,7 +325,30 @@ def errornorm_p(
     """L2 or H1-seminorm error of a degree-p lattice function against a
     callable exact solution, integrated with tensor-product Gauss-Legendre
     quadrature of the requested degree (default 14 — the parity-critical
-    degree shared with ``utils/postprocessing``)."""
+    degree shared with ``utils/postprocessing``).
+
+    ``exact`` may also be a same-space :class:`~perphil_tpu.forms.spaces.Function`
+    (the reference-vs-refined comparison the Q1 error paths support via
+    ``_exact_at``): the lattices are differenced and the norm of the
+    difference field is integrated exactly."""
+    from perphil_tpu.forms import spaces as _spaces
+
+    if isinstance(exact, _spaces.Function):
+        ef = exact
+        if (
+            tuple(ef.space.mesh.node_shape) != tuple(mesh.node_shape)
+            or ef.space.degree != p
+        ):
+            raise TypeError(
+                "Function-valued exact must live on the same mesh and degree "
+                f"(got degree {ef.space.degree} on {ef.space.mesh.node_shape} "
+                f"vs degree {p} on {mesh.node_shape})"
+            )
+        u = jnp.asarray(u) - jnp.asarray(ef.data)
+
+        def exact(*xs):  # noqa: F811 - difference field vs zero
+            return jnp.zeros_like(xs[0])
+
     d = mesh.dim
     nq = quadrature_degree // 2 + 1
     q, w = np.polynomial.legendre.leggauss(nq)
@@ -343,7 +366,9 @@ def errornorm_p(
         out = ud
         for ax in range(d):
             Bax = jnp.asarray(mats[d - 1 - ax])  # matches local axis order
-            out = jnp.tensordot(out, Bax, axes=([d], [0]))
+            out = jnp.tensordot(
+                out, Bax, axes=([d], [0]), precision=jax.lax.Precision.HIGHEST
+            )
             # contracted local axis d; result appends quad axis at the end
         return out  # (*cells_rev, *nq*d)
 

@@ -58,11 +58,28 @@ def initialize_from_env(local_device_count: Optional[int] = None) -> bool:
         or os.environ.get("PERPHIL_COORDINATOR")
         or "127.0.0.1:12421"
     )
-    if num is None or pid is None:
+    if (num is None) != (pid is None):
+        # One of world-size/rank set without the other is a broken launcher,
+        # not a single-process run: continuing would compute P independent
+        # full-size replicas (and hang the properly-configured ranks at the
+        # coordinator). Fail loudly instead.
+        raise RuntimeError(
+            "Partial multi-process configuration: set BOTH "
+            "PERPHIL_NUM_PROCESSES/JAX_NUM_PROCESSES and "
+            "PERPHIL_PROCESS_ID/JAX_PROCESS_ID (or neither) — got "
+            f"num_processes={num!r}, process_id={pid!r}"
+        )
+    if num is None:
         # On TPU pod slices jax.distributed.initialize() self-discovers via
-        # the metadata server; on anything else, stay single-process.
-        if jax.default_backend() == "tpu" and os.environ.get("PERPHIL_AUTO_DISTRIBUTED"):
-            jax.distributed.initialize()
+        # the metadata server. IMPORTANT: do not touch jax.default_backend()
+        # (or any other backend-initializing API) before initialize() — JAX
+        # requires distributed init to happen first, so gate only on the
+        # env flag and let initialize() itself fail on non-pod hosts.
+        if os.environ.get("PERPHIL_AUTO_DISTRIBUTED"):
+            try:
+                jax.distributed.initialize()
+            except Exception:
+                return False  # not a pod slice / no metadata server
             return jax.process_count() > 1
         return False
 

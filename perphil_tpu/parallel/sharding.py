@@ -138,8 +138,19 @@ def sharded_solve_dpp(
     import jax.numpy as jnp
 
     from perphil_tpu.ops.assembly import bc_values_per_field
-    from perphil_tpu.solvers.solver import Solution, _build_linear_solver, _freeze
+    from perphil_tpu.solvers.options import apply_prefix_overrides
+    from perphil_tpu.solvers.solver import (
+        Solution,
+        _build_linear_solver,
+        _freeze,
+        _validate_mixed,
+    )
 
+    _validate_mixed(W)
+    # same options-prefix override surface as solve_dpp: a set_options("dpp",
+    # ...) / PERPHIL_TPU_OPTIONS override must not silently change behavior
+    # between single-device and sharded runs
+    solver_parameters = apply_prefix_overrides(solver_parameters, "dpp")
     g1, g2 = bc_values_per_field(W, bcs)
     # DoFs live on the (possibly p-refined) lattice — pad/crop THAT grid
     dof_shape = W.spaces[0].dof_mesh.node_shape

@@ -887,18 +887,24 @@ def _build_tensor_linear_solver(
     max_it = int(flat.get("ksp_max_it", 10000))
     restart = int(flat.get("ksp_gmres_restart", 30))
 
+    from perphil_tpu.config import default_dtype
+
+    # Example DoF-lattice grids for _lifted_jit: the eigen/diag/mask tensors
+    # closed over below scale with the lattice and must be runtime arguments,
+    # not HLO constants (axon relay payload limit — see _lifted_jit).
+    _ex = jnp.zeros(op.dof_shape, dtype=default_dtype())
+
     if ksp == "preonly":
         if pc_type != "lu":
             raise ValueError(f"degree-{degree} preonly supports pc_type=lu only")
         direct = TensorFastDiagDPP(mesh, params, degree)
 
-        @jax.jit
         def solve_direct(g1, g2):
             b1, b2 = op.lifted_rhs(g1, g2)
             z1, z2 = direct.solve(b1, b2)
             return z1, z2, jnp.asarray(1), jnp.asarray(0.0, dtype=g1.dtype)
 
-        return solve_direct
+        return _lifted_jit(solve_direct, _ex, _ex)
 
     if ksp != "gmres":
         raise ValueError(f"degree-{degree} spaces support preonly/gmres, got {ksp!r}")
@@ -990,7 +996,6 @@ def _build_tensor_linear_solver(
 
     mv = op.stacked_matvec()
 
-    @jax.jit
     def solve_gmres(g1, g2):
         b1, b2 = op.lifted_rhs(g1, g2)
         x0 = jnp.stack([jnp.where(bdry, g1, 0.0), jnp.where(bdry, g2, 0.0)])
@@ -1001,7 +1006,7 @@ def _build_tensor_linear_solver(
         )
         return res.x[0], res.x[1], res.iterations, res.residual_norm
 
-    return solve_gmres
+    return _lifted_jit(solve_gmres, _ex, _ex)
 
 
 def solve_dpp(
@@ -1046,19 +1051,35 @@ def solve_dpp_nonlinear(
     g1, g2 = bc_values_per_field(W, bcs)
     flat = _flatten_options(solver_parameters)
     snes = str(flat.get("snes_type", "ngs"))
+    degree = W.spaces[0].degree
     if snes == "ksponly":
         # PETSc parity (reference solver.py:123-125): SNESKSPONLY reports
         # snes.getIterationNumber() == 1 and snes.getFunctionNorm() — the
         # true nonlinear residual after the single linear solve — NOT the
         # inner KSP iteration count / KSP residual.
         ksp_opts = {k: v for k, v in flat.items() if not k.startswith("snes_")}
-        solver = _build_linear_solver(W, model_params, _freeze(ksp_opts))
+        if degree > 1:
+            from perphil_tpu.ops.tensorfem import TensorDPPOperator
+
+            solver = _build_tensor_linear_solver(W, model_params, _freeze(ksp_opts))
+            op = TensorDPPOperator(W.mesh, model_params, degree)
+        else:
+            solver = _build_linear_solver(W, model_params, _freeze(ksp_opts))
+            op = DPPOperator(W, model_params)
         z1, z2, _its, _rnorm = solver(g1, g2)
-        op = DPPOperator(W, model_params)
         b1, b2 = op.lifted_rhs(g1, g2)
         r1, r2 = op.residual(z1, z2, b1, b2)
         fnorm = float(jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2)).real)
         return Solution(Function(W, (z1, z2)), 1, fnorm)
+    if degree > 1:
+        # The Picard/NGS drivers are built on the Q1 stencil machinery;
+        # fail at the API boundary instead of with an opaque shape error
+        # deep inside jit tracing.
+        raise ValueError(
+            f"solve_dpp_nonlinear supports degree-{degree} spaces only with "
+            "snes_type='ksponly'; ngs/nrichardson/block_gs drivers are "
+            "degree-1 (use the linear solve_dpp path for Qp systems)"
+        )
     solver = _build_nonlinear_solver(W, model_params, _freeze(solver_parameters))
     z1, z2, its, fnorm = solver(g1, g2)
     return Solution(Function(W, (z1, z2)), int(its), float(fnorm))
@@ -1097,21 +1118,25 @@ def _build_ngs_solver_df(
         return rh, rl
 
     def _ngs_from_df(x_df, b_df, tol, budget):
-        def fn_of(x_df):
-            return df_norm(_residual_df(x_df, b_df))
-
+        # The residual is carried in the loop state: one matvec per Picard
+        # iteration (it serves both the convergence test and the next
+        # sweep), not two. Trajectory identical to recomputing it.
         def cond(state):
-            x_df, its, fn = state
+            x_df, its, fn, r = state
             return (fn > tol) & (its < budget)
 
         def body(state):
-            x_df, its, fn = state
-            r = _residual_df(x_df, b_df)
+            x_df, its, fn, r = state
             e = sweeper.sweep(jnp.zeros_like(r[0]), r[0] + r[1])
             x_df = df_add(x_df, (e, jnp.zeros_like(e)))
-            return x_df, its + 1, fn_of(x_df)
+            r_new = _residual_df(x_df, b_df)
+            return x_df, its + 1, df_norm(r_new), r_new
 
-        return jax.lax.while_loop(cond, body, (x_df, jnp.asarray(0), fn_of(x_df)))
+        r0 = _residual_df(x_df, b_df)
+        x_df, its, fn, _ = jax.lax.while_loop(
+            cond, body, (x_df, jnp.asarray(0), df_norm(r0), r0)
+        )
+        return x_df, its, fn
 
     def _prep(g1, g2):
         g1d = df_from_f64(g1)

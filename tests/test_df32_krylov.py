@@ -83,3 +83,70 @@ def test_df32_gmres_count_parity(approach, N, want, monkeypatch):
     sol = solve_dpp(W, params, bcs, solver_parameters=params_for(Approach[approach]))
     assert sol.iteration_number == want
     _build_linear_solver.cache_clear()
+
+
+def test_df32_ngs_count_matches_native(monkeypatch):
+    """The df32 pointwise-GS Picard driver (TPU default; residual carried in
+    the loop state) reproduces the native-f64 sweep count exactly."""
+    from perphil_tpu.forms import create_function_spaces, mixed_space
+    from perphil_tpu.mesh import create_mesh
+    from perphil_tpu.models.dpp import DPPParameters
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.solvers import solve_dpp_nonlinear
+    from perphil_tpu.solvers.parameters import PICARD_LU_SOLVER_PARAMS
+    from perphil_tpu.solvers.solver import _build_nonlinear_solver
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+    params = DPPParameters()
+    mesh = create_mesh(8, 8)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+
+    _build_nonlinear_solver.cache_clear()
+    ref = solve_dpp_nonlinear(W, params, bcs, solver_parameters=PICARD_LU_SOLVER_PARAMS)
+
+    monkeypatch.setenv("PERPHIL_TPU_KSP_DTYPE", "df32")
+    _build_nonlinear_solver.cache_clear()
+    got = solve_dpp_nonlinear(W, params, bcs, solver_parameters=PICARD_LU_SOLVER_PARAMS)
+    _build_nonlinear_solver.cache_clear()
+
+    assert got.iteration_number == ref.iteration_number
+    # the converged function norms agree to df32 accuracy (~1e-6 absolute
+    # on this O(1e-4) residual scale)
+    assert abs(got.residual_error - ref.residual_error) <= 1e-4
+
+
+def test_nonlinear_degree2_ksponly_and_clear_error():
+    """Degree>1 spaces: ksponly routes through the tensor linear solver;
+    iterative SNES drivers fail with a clear message, not a shape error."""
+    import pytest
+
+    from perphil_tpu.forms.spaces import FunctionSpace, mixed_space
+    from perphil_tpu.mesh import create_mesh
+    from perphil_tpu.models.dpp import DPPParameters
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.solvers import solve_dpp_nonlinear
+    from perphil_tpu.solvers.parameters import (
+        LINEAR_SOLVER_PARAMS,
+        PICARD_LU_SOLVER_PARAMS,
+    )
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+    params = DPPParameters()
+    mesh = create_mesh(4, 4)
+    V = FunctionSpace(mesh, degree=2)
+    W = mixed_space(V)
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+
+    sol = solve_dpp_nonlinear(
+        W, params, bcs,
+        solver_parameters={"snes_type": "ksponly", **LINEAR_SOLVER_PARAMS},
+    )
+    assert sol.iteration_number == 1
+    assert sol.residual_error < 1e-6
+
+    with pytest.raises(ValueError, match="ksponly"):
+        solve_dpp_nonlinear(W, params, bcs, solver_parameters=PICARD_LU_SOLVER_PARAMS)

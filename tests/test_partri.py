@@ -157,3 +157,77 @@ def test_apply_varcoef_stencil():
         shifted[ys_dst, xs_dst] = x[ys, xs]
         ref += np.asarray(w) * shifted
     np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-13)
+
+
+def test_bf16_weight_dtype_keeps_f32_state_2d():
+    """bf16 storage truncates only the STORED maps: the recurrence state and
+    output stay f32 and the result tracks the full-precision solve."""
+    from perphil_tpu.ops import partri
+
+    ny, nx = 17, 12
+    rng = np.random.default_rng(42)
+    coef = lambda: rng.standard_normal((ny, nx)) * 0.3  # noqa: E731
+    wr, bm, b0, bp = coef(), coef(), coef(), coef()
+    wr[:, 0] = 0.0
+    bm[0, :] = 0.0
+    bm[:, 0] = 0.0
+    b0[0, :] = 0.0
+    bp[0, :] = 0.0
+    bp[:, -1] = 0.0
+    c = rng.standard_normal((ny, nx))
+    args = tuple(jnp.asarray(a, jnp.float32) for a in (wr, bm, b0, bp))
+    ref = np.asarray(GridTriSolve2D(*args).apply(jnp.asarray(c, jnp.float32)))
+    with partri.weight_dtype("bfloat16"):
+        solver = GridTriSolve2D(*args)
+    assert solver.chain.level_mats[0][0].dtype == jnp.bfloat16
+    out = solver.apply(jnp.asarray(c, jnp.float32))
+    assert out.dtype == jnp.float32  # state contract
+    rel = float(np.max(np.abs(np.asarray(out) - ref)) / np.max(np.abs(ref)))
+    assert rel < 1e-2, rel
+
+
+def test_bf16_weight_dtype_3d_composes_full_precision():
+    """The 3D plane-map densification must run through a full-precision
+    plane solver; both stages' STORED maps end up bf16 afterwards."""
+    from perphil_tpu.ops import partri
+
+    nz, ny, nx = 4, 5, 6
+    rng = np.random.default_rng(11)
+    shape = (nz, ny, nx)
+    coef = lambda: rng.standard_normal(shape) * 0.25  # noqa: E731
+    wr, bm, b0, bp = coef(), coef(), coef(), coef()
+    wr[..., :, 0] = 0.0
+    bm[..., 0, :] = 0.0
+    bm[..., :, 0] = 0.0
+    b0[..., 0, :] = 0.0
+    bp[..., 0, :] = 0.0
+    bp[..., :, -1] = 0.0
+    bz = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            w = coef()
+            if dy < 0:
+                w[:, 0, :] = 0.0
+            if dy > 0:
+                w[:, -1, :] = 0.0
+            if dx < 0:
+                w[:, :, 0] = 0.0
+            if dx > 0:
+                w[:, :, -1] = 0.0
+            w[0] = 0.0
+            bz[(dx, dy)] = w
+    args = tuple(jnp.asarray(a, jnp.float32) for a in (wr, bm, b0, bp))
+    bzj = {k: jnp.asarray(v, jnp.float32) for k, v in bz.items()}
+    c = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    ref = np.asarray(GridTriSolve3D(GridTriSolve2D(*args), bzj).apply(c))
+    with partri.weight_dtype("bfloat16"):
+        with partri.weight_dtype(None):
+            plane = GridTriSolve2D(*args)  # full precision for densification
+        solver = GridTriSolve3D(plane, bzj)
+    # after construction both stages store bf16 maps
+    assert solver.chain.level_mats[0][0].dtype == jnp.bfloat16
+    assert solver.plane2d.chain.level_mats[0][0].dtype == jnp.bfloat16
+    out = solver.apply(c)
+    assert out.dtype == jnp.float32
+    rel = float(np.max(np.abs(np.asarray(out) - ref)) / np.max(np.abs(ref)))
+    assert rel < 1e-2, rel

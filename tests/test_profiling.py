@@ -109,3 +109,45 @@ def test_backend_variants_measure(backend):
         # per-event device times present for a preconditioned solve
         assert res.times["MatMult"] > 0.0
         assert res.times["PCApply"] > 0.0
+
+
+def test_chunked_plain_solver_respects_max_it():
+    """The continuation driver must stop exactly at ksp_max_it like PETSc
+    (the final chunk is clamped to the remaining budget)."""
+    import jax.numpy as jnp
+
+    from perphil_tpu.experiments.profiling import build_chunked_plain_solver
+    from perphil_tpu.forms.spaces import create_function_spaces, mixed_space
+    from perphil_tpu.mesh.structured import create_mesh
+    from perphil_tpu.models.dpp.parameters import DPPParameters
+    from perphil_tpu.ops.assembly import DirichletBC, bc_values_per_field
+    from perphil_tpu.solvers.parameters import PLAIN_GMRES_PARAMS
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+    mesh = create_mesh(16, 16)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    params = DPPParameters()
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    g1, g2 = bc_values_per_field(W, bcs)
+    # N=16 plain GMRES needs 292 iterations; max_it=25 with chunk=10 would
+    # overshoot to 30 without clamping
+    sp = {**PLAIN_GMRES_PARAMS, "ksp_max_it": 25}
+    solver = build_chunked_plain_solver(W, params, sp, chunk=10)
+    _, _, total, _ = solver(g1, g2)
+    assert total == 25, total
+
+
+def test_explicit_backend_failure_falls_back_to_wall(monkeypatch):
+    """An explicitly requested backend whose probe fails must still ship a
+    real wall measurement and truthful metadata, never a zero-time row."""
+    from perphil_tpu.experiments import profiling as prof
+
+    def boom(*a, **k):
+        raise RuntimeError("probe exploded")
+
+    monkeypatch.setattr(prof, "_profile_with_events", boom)
+    res = prof.run_perf_once(4, 4, Approach.SS_GMRES, backend="events")
+    assert res.metadata["backend"] == "wall"
+    assert res.time_total > 0.0

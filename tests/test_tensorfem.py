@@ -242,3 +242,35 @@ def test_q2_3d_hex_solve():
     # Q2 beats Q1 at every size and converges faster
     assert errs[2][0] < errs[1][0] and errs[2][1] < errs[1][1]
     assert errs[2][0] / errs[2][1] > errs[1][0] / errs[1][1]
+
+
+def test_errornorm_p_function_valued_exact():
+    """Degree>1 error norms accept a same-space Function as the exact field
+    (the reference-vs-refined comparison the Q1 paths support)."""
+    import numpy as np
+
+    from perphil_tpu.forms.spaces import Function, FunctionSpace
+    from perphil_tpu.mesh.structured import create_mesh
+    from perphil_tpu.utils.postprocessing import h1_seminorm_error, l2_error
+
+    mesh = create_mesh(8, 8)
+    V = FunctionSpace(mesh, degree=2)
+    xs = np.linspace(0.0, 1.0, 2 * 8 + 1)
+    X, Y = np.meshgrid(xs, xs, indexing="xy")
+    vals = np.sin(np.pi * X) * np.cos(np.pi * Y)
+    u = Function(V)
+    u.data = jnp.asarray(vals)
+    v = Function(V)
+    v.data = jnp.asarray(vals * 1.001)
+    e = l2_error(u, v)
+    assert 0.0 < e < 1e-2
+    eh = h1_seminorm_error(u, v)
+    assert 0.0 < eh < 1e-1
+    # self-comparison is exactly zero
+    assert l2_error(u, u) == 0.0
+
+    # mesh/degree mismatch is rejected with a clear error
+    W = FunctionSpace(create_mesh(4, 4), degree=2)
+    w = Function(W)
+    with pytest.raises(TypeError):
+        l2_error(u, w)
