@@ -155,6 +155,12 @@ class DPPOperator:
     def __post_init__(self):
         if self.W.num_sub_spaces() != 2:
             raise ValueError(f"Expected a 2-field MixedFunctionSpace, got {type(self.W)}")
+        if self.W.spaces[0].degree > 1:
+            raise NotImplementedError(
+                "DPPOperator is the Q1 node-grid stencil operator; degree-"
+                f"{self.W.spaces[0].degree} spaces use ops.tensorfem."
+                "TensorDPPOperator (solve_dpp dispatches automatically)"
+            )
         object.__setattr__(self, "padding", normalize_padding(self.W.mesh, self.padding))
 
     @property
@@ -346,6 +352,11 @@ class FieldOperator:
     padding: Tuple[int, ...] = ()
 
     def __post_init__(self):
+        if self.V.degree > 1:
+            raise NotImplementedError(
+                f"FieldOperator is Q1-only; degree-{self.V.degree} spaces "
+                "use the tensor-product operators in ops.tensorfem"
+            )
         object.__setattr__(self, "padding", normalize_padding(self.V.mesh, self.padding))
 
     @property
@@ -372,8 +383,12 @@ class FieldOperator:
         return jnp.where(bdry, z, y)
 
     def mass_apply(self, z: jnp.ndarray) -> jnp.ndarray:
-        """Full (un-eliminated) consistent-mass application ``(beta/mu) M z``
-        — used to build delayed-form RHS terms."""
+        """Interior-stencil consistent-mass application ``(beta/mu) M z``
+        — used to build delayed-form RHS terms, whose boundary rows are
+        discarded by the caller. NOT exact on boundary rows (the constant
+        interior stencil ignores the truncated element support there);
+        callers that need true boundary values must use
+        :class:`FullMassOperator` below."""
         _, M_st = self._stencils
         return (self.beta / self.mu) * apply_stencil(z, M_st)
 
@@ -508,6 +523,12 @@ def materialize_monolithic_csr(
     ``/root/reference/src/perphil/experiments/iterative_bench.py:255-287``:
     returns (csr, n0, n1) with n0/n1 the per-field block sizes.
     """
+    if W.spaces[0].degree > 1:
+        raise NotImplementedError(
+            "CSR materialization covers the Q1 stencil pattern only; "
+            f"degree-{W.spaces[0].degree} conditioning analysis is not "
+            "supported (the published conditioning artifacts are all Q1)"
+        )
     mesh = W.mesh
     K_st, M_st = compile_stencils(mesh)
     p = params

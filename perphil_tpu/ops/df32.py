@@ -107,7 +107,12 @@ def df_axpy_wf64(acc: DF, w64: float, v: DF) -> DF:
     """acc += w * v with w given in f64 (split into a df constant)."""
     w_hi = np.float32(w64)
     w_lo = np.float32(w64 - float(w_hi))
-    term = df_add(df_scale_f32(v, w_hi), df_scale_f32(v, w_lo))
+    term = df_scale_f32(v, w_hi)
+    if float(w_lo) != 0.0:
+        # skip the correction entirely for f32-exact weights (common for
+        # stencil constants like -1/4): it is a trace-time constant-zero
+        # that would still cost a df_scale + df_add per grid point
+        term = df_add(term, df_scale_f32(v, w_lo))
     return df_add(acc, term)
 
 

@@ -75,9 +75,9 @@ def df_vec_add(x: DF, y: DF) -> DF:
 
 
 def df_vec_sub(x: DF, y: DF) -> DF:
-    s, e = two_sum(x[0], -y[0])
-    e = e + x[1] - y[1]
-    return fast_two_sum(s, e)
+    from perphil_tpu.ops.df32 import df_sub
+
+    return df_sub(x, y)
 
 
 def df_scale64(x: DF, s64) -> DF:
@@ -155,7 +155,6 @@ def df_basis_comb(h64: jnp.ndarray, V: DF) -> DF:
     p, e = two_prod(hh_b, Vh)
     e = e + hh_b * Vl + hl_b * Vh
     # reduce over the basis axis (small) by df pairwise tree
-    m1 = Vh.shape[0]
     acc_h = jnp.moveaxis(p, 0, -1)
     acc_l = jnp.moveaxis(e, 0, -1)
     out = df_sum_tree((acc_h, acc_l), keep_leading=Vh.ndim - 1)

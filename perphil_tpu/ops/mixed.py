@@ -102,19 +102,30 @@ class MixedPrecisionFieldDirect:
         tol = jnp.float32(3e-13) * jnp.maximum(bnorm, 1e-30)
 
         def body(state):
-            z, it, rnorm = state
+            z, it, rnorm, _prev = state
             r = df_sub(b_df, self._df_matvec(z))
             s = jnp.maximum(jnp.max(jnp.abs(r[0])), 1e-30)
             d = self._fast32.solve(r[0] / s)
             z = df_add(z, (d * s, jnp.zeros_like(d)))
-            rnorm = jnp.sqrt(jnp.vdot(r[0], r[0])).real
-            return z, it + 1, rnorm
+            new_rnorm = jnp.sqrt(jnp.vdot(r[0], r[0])).real
+            return z, it + 1, new_rnorm, rnorm
 
         def cond(state):
-            _, it, rnorm = state
-            return (it < self.refinements) & (rnorm > tol)
+            _, it, rnorm, prev = state
+            # converged, out of budget, or stagnated (see the monolithic
+            # solver's accuracy contract below)
+            return (it < self.refinements) & (rnorm > tol) & (rnorm < 0.5 * prev)
 
-        z, _, _ = jax.lax.while_loop(cond, body, ((x, jnp.zeros_like(x)), jnp.asarray(0), bnorm))
+        z, _, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                (x, jnp.zeros_like(x)),
+                jnp.asarray(0),
+                bnorm,
+                jnp.asarray(jnp.inf, bnorm.dtype),
+            ),
+        )
         return z
 
     def solve(self, b):
@@ -196,8 +207,15 @@ class MixedPrecisionDPPDirect:
         """Refined solve in pure double-float (no f64 ops on the hot path).
 
         Refinement is adaptive: iterate until the double-float residual
-        drops below ~50 eps_df relative (or ``refinements`` steps, whichever
-        first) — each step contracts the error by ~kappa(A)*eps_f32."""
+        drops below ~50 eps_df relative (or ``refinements`` steps, or the
+        residual stops contracting, whichever first) — each step contracts
+        the error by ~kappa(A)*eps_f32. Accuracy contract: ~1e-12 relative
+        REQUIRES kappa(A)*eps_f32 << 1, i.e. kappa(A) up to ~1e6 (true for
+        every published DPP configuration: kappa <= 1.4e4 at 2D N=64 with
+        slope -2 in h). Beyond that the iteration stagnates at
+        ~kappa*eps_f32 relative and the loop exits early rather than
+        spinning; extreme ``scale_contrast`` runs should use the f64
+        parity mode."""
         import jax
 
         bdry = self._bdry
@@ -208,7 +226,7 @@ class MixedPrecisionDPPDirect:
         tol = jnp.float32(3e-13) * jnp.maximum(bnorm, 1e-30)
 
         def body(state):
-            z1, z2, it, rnorm = state
+            z1, z2, it, rnorm, _prev = state
             y1, y2 = self._df_matvec(z1, z2, bdry)
             r1 = df_sub(b1_df, y1)
             r2 = df_sub(b2_df, y2)
@@ -219,17 +237,20 @@ class MixedPrecisionDPPDirect:
             d1, d2 = self._fast32.solve(r1[0] / s, r2[0] / s)
             z1 = df_add(z1, (d1 * s, jnp.zeros_like(d1)))
             z2 = df_add(z2, (d2 * s, jnp.zeros_like(d2)))
-            rnorm = jnp.sqrt(jnp.vdot(r1[0], r1[0]) + jnp.vdot(r2[0], r2[0])).real
-            return z1, z2, it + 1, rnorm
+            new_rnorm = jnp.sqrt(jnp.vdot(r1[0], r1[0]) + jnp.vdot(r2[0], r2[0])).real
+            return z1, z2, it + 1, new_rnorm, rnorm
 
         def cond(state):
-            _, _, it, rnorm = state
-            return (it < self.refinements) & (rnorm > tol)
+            _, _, it, rnorm, prev = state
+            # stop on convergence, budget, or stagnation (a step that fails
+            # to halve the residual means kappa*eps_f32 ~ 1: further
+            # refinement cannot improve the answer)
+            return (it < self.refinements) & (rnorm > tol) & (rnorm < 0.5 * prev)
 
         z1 = (x1, jnp.zeros_like(x1))
         z2 = (x2, jnp.zeros_like(x2))
-        init = (z1, z2, jnp.asarray(0), bnorm)
-        z1, z2, _, _ = jax.lax.while_loop(cond, body, init)
+        init = (z1, z2, jnp.asarray(0), bnorm, jnp.asarray(jnp.inf, bnorm.dtype))
+        z1, z2, _, _, _ = jax.lax.while_loop(cond, body, init)
         return z1, z2
 
     def assemble_and_solve_df(self, g1: DF, g2: DF) -> Tuple[DF, DF]:

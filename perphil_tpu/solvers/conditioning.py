@@ -144,6 +144,24 @@ def calculate_condition_number(
     k = int(max(2 * num_singular_values, 60))
     lam_max, lam_min = spd_extremal_eigenvalues(mv, nrows, inv_apply=inv_apply, num_iters=k)
     lam_min = abs(lam_min)
+    if inv_apply is None:
+        # Without an inverse, the smallest Lanczos Ritz value is only an
+        # upper bound on lam_min (interior of the spectrum at modest k) —
+        # it can overestimate lam_min, hence UNDERestimate kappa, by orders
+        # of magnitude. Use host shift-invert ARPACK for the converged
+        # smallest eigenvalue (the same mode the reference's
+        # svds(which='SM') path used, conditioning.py:156-209); the
+        # device-native route is inverse Lanczos via ``inv_apply``.
+        from scipy.sparse.linalg import eigsh
+
+        try:
+            w = eigsh(
+                A, k=1, sigma=0.0, which="LM",
+                return_eigenvectors=False, maxiter=20000, tol=1e-8,
+            )
+            lam_min = float(abs(w[0]))
+        except Exception:
+            return _dense_condition_number(A.toarray(), zero_tol)
     if lam_min <= zero_tol:
         return float("inf")
     return float(abs(lam_max) / lam_min)

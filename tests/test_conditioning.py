@@ -83,3 +83,38 @@ def test_sparse_conditioning_simplicial_matches_dense():
     sparse = estimate_condition_numbers(W, num_of_factors=50, use_sparse=True)
     for key in ("monolithic", "macro", "micro"):
         assert abs(sparse[key] - dense[key]) / dense[key] < 1e-6
+
+
+def test_sparse_mode_without_inverse_matches_dense():
+    """use_sparse with no inv_apply must still converge the smallest
+    eigenvalue (host shift-invert fallback), not report the interior
+    smallest Ritz value (which silently underestimates kappa)."""
+    from perphil_tpu.forms.spaces import create_function_spaces, mixed_space
+    from perphil_tpu.mesh.structured import create_mesh
+    from perphil_tpu.models.dpp.parameters import DPPParameters
+    from perphil_tpu.ops.assembly import materialize_monolithic_csr
+    from perphil_tpu.solvers.conditioning import calculate_condition_number
+
+    mesh = create_mesh(16, 16)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    A, _, _ = materialize_monolithic_csr(W, DPPParameters())
+    dense = calculate_condition_number(A, None, use_sparse=False)
+    sparse = calculate_condition_number(A, 5, use_sparse=True)
+    assert abs(sparse - dense) / dense < 1e-6
+
+
+def test_csr_materialization_rejects_degree_p():
+    """Degree>1 spaces must be rejected by the Q1 CSR path, not silently
+    assembled as the wrong (Q1) matrix."""
+    import pytest
+
+    from perphil_tpu.forms.spaces import FunctionSpace, mixed_space
+    from perphil_tpu.mesh.structured import create_mesh
+    from perphil_tpu.models.dpp.parameters import DPPParameters
+    from perphil_tpu.ops.assembly import materialize_monolithic_csr
+
+    mesh = create_mesh(4, 4)
+    W2 = mixed_space(FunctionSpace(mesh, degree=2))
+    with pytest.raises(NotImplementedError, match="Q1"):
+        materialize_monolithic_csr(W2, DPPParameters())
