@@ -40,6 +40,7 @@ for ``Mat.getInfo`` (reference ``:461-521``).
 from __future__ import annotations
 
 import json
+import os
 import resource
 import time
 from dataclasses import asdict, dataclass, field
@@ -268,6 +269,7 @@ def build_chunked_plain_solver(W, params, sp_dict, chunk: int = KSP_CHUNK):
             total += int(its)
         return z1, z2, total, rnorm
 
+    solve._host_chunked = True  # host-loop driver: cannot be chained in-jit
     return solve
 
 
@@ -321,6 +323,7 @@ def build_chunked_ngs_solver(W, params, sp_dict, chunk: int = NGS_CHUNK):
             total += int(its)
         return z1, z2, total, fn
 
+    solve._host_chunked = True  # host-loop driver: cannot be chained in-jit
     return solve
 
 
@@ -505,6 +508,111 @@ def _pc_probe(op: DPPOperator, approach: Approach, g1, g2):
     return (lambda r: pc(r)), x
 
 
+CHAIN_BUDGET_S = float(os.environ.get("PERPHIL_TPU_CHAIN_BUDGET_S", "6.0"))
+# Maximum estimated wall (seconds) for running all `repeats` solves inside
+# ONE device execution. Above it we fall back to per-repeat dispatch: the
+# shared TPU relay enforces a hard per-execution time limit (CLAUDE.md), so
+# long Krylov runs must not be fused into a single program.
+
+
+def _chained_solve_wall(solver, g1, g2, repeats: int):
+    """Wall time of ``repeats`` dependent solves in ONE compiled execution.
+
+    Individually dispatched solves each pay the device relay's fixed
+    dispatch cost (~10 ms on the axon tunnel), which swamps the actual
+    solve at small N — the reference's CPU repeats pay no such per-repeat
+    tax (its measurement window holds ``repeats`` back-to-back in-process
+    solves, ``petsc_profiling.py:302-343``). Chaining the repeats inside a
+    single ``lax.scan`` with an ``optimization_barrier`` carrying the
+    inputs (so XLA can neither CSE the trips nor hoist the loop-invariant
+    solve out of the loop) amortizes the dispatch exactly as the
+    reference's window does. Each trip solves the identical system.
+
+    Returns ``(wall_total, out)`` where ``out`` is the last trip's
+    ``(z1, z2, its, rnorm)``.
+    """
+    from jax import lax
+
+    from perphil_tpu.solvers.solver import _lifted_jit
+
+    out_sd = jax.eval_shape(solver, g1, g2)
+    zeros = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), out_sd
+    )
+
+    def many(a, b):
+        def body(carry, _):
+            ca, cb, _prev = carry
+            out = solver(ca, cb)
+            return lax.optimization_barrier((ca, cb, out)), None
+
+        (_, _, out), _ = lax.scan(
+            body, (a, b, zeros), None, length=max(1, repeats)
+        )
+        return out
+
+    cfn = _lifted_jit(many, g1, g2)
+    _block(cfn(g1, g2))  # compile + warm
+    t0 = time.perf_counter()
+    out = cfn(g1, g2)
+    _block(out)
+    return time.perf_counter() - t0, out
+
+
+CHAIN_TARGET_WINDOW_S = float(
+    os.environ.get("PERPHIL_TPU_CHAIN_WINDOW_S", "0.35")
+)
+# Minimum measurement-window length the chained path aims for. The relay
+# charges a fixed per-execution cost regardless of program size; solves in
+# the low-millisecond range need more than `repeats` trips in the window
+# before that fixed cost drops below the solve itself. PETSc's event
+# timers never see the dispatch layer at all (reference
+# ``petsc_profiling.py:275-343`` reads in-library event clocks), so
+# amortizing the relay dispatch out of time_total is the honest analogue,
+# not a flattering deviation. metadata["chain_repeats"] records the trip
+# count actually used.
+
+
+def _solve_wall(solver, g1, g2, repeats: int):
+    """Measure the per-``repeats``-window wall for a solve, chained when safe.
+
+    The chained single-execution path is used unless the solver is a
+    host-level chunked driver (``_host_chunked``) or a one-solve estimate
+    projects the window past ``CHAIN_BUDGET_S`` (per-execution time limit
+    on the shared device). For sub-millisecond-to-few-ms solves the trip
+    count is raised above ``repeats`` until the window reaches
+    ``CHAIN_TARGET_WINDOW_S`` (result is rescaled to the caller's
+    ``repeats`` window). The fallback is the dispatch loop — identical
+    semantics, higher fixed overhead per repeat.
+    """
+    reps = max(1, repeats)
+    _solve_wall.last_chain_repeats = None
+    if not getattr(solver, "_host_chunked", False):
+        t0 = time.perf_counter()
+        out = solver(g1, g2)
+        _block(out)
+        t_one = time.perf_counter() - t0
+        if t_one * reps <= CHAIN_BUDGET_S:
+            n_chain = max(
+                reps,
+                min(100, int(-(-CHAIN_TARGET_WINDOW_S // max(t_one, 1e-4)))),
+            )
+            while n_chain > reps and t_one * n_chain > CHAIN_BUDGET_S:
+                n_chain = max(reps, n_chain // 2)
+            try:
+                wall, out = _chained_solve_wall(solver, g1, g2, n_chain)
+                _solve_wall.last_chain_repeats = n_chain
+                return wall * (reps / n_chain), out
+            except Exception as exc:  # fall back, never silently
+                print(f"[perf] chained timing failed, dispatch loop: "
+                      f"{type(exc).__name__}: {exc}")
+    t0 = time.perf_counter()
+    for _ in range(max(1, repeats)):
+        out = solver(g1, g2)
+    _block(out)
+    return time.perf_counter() - t0, out
+
+
 def _profile_with_events(
     solver: Callable,
     g1,
@@ -542,11 +650,7 @@ def _profile_with_events(
         finally:
             shutil.rmtree(tracedir, ignore_errors=True)
     else:
-        t0 = time.perf_counter()
-        for _ in range(max(1, repeats)):
-            out = solver(g1, g2)
-        _block(out)
-        wall = time.perf_counter() - t0
+        wall, out = _solve_wall(solver, g1, g2, repeats)
         solve_time = wall
     its = int(out[2])
 
@@ -669,11 +773,7 @@ def run_perf_once(
             elif backend_name == "stage":
                 # PETSc log-stage analogue: coarse phase decomposition from
                 # wall clocks only (setup stage captured in t_setup below)
-                t0 = time.perf_counter()
-                for _ in range(max(1, repeats)):
-                    out = solver(g1, g2)
-                _block(out)
-                wall_total = time.perf_counter() - t0
+                wall_total, out = _solve_wall(solver, g1, g2, repeats)
                 solve_event = (
                     "SNESSolve" if approach == Approach.PICARD_MUMPS else "KSPSolve"
                 )
@@ -681,11 +781,7 @@ def run_perf_once(
                 backend_used = "stage"
                 break
             else:
-                t0 = time.perf_counter()
-                for _ in range(max(1, repeats)):
-                    out = solver(g1, g2)
-                _block(out)
-                wall_total = time.perf_counter() - t0
+                wall_total, out = _solve_wall(solver, g1, g2, repeats)
                 times["KSPSolve"] = wall_total
                 backend_used = "wall"
                 break
@@ -732,6 +828,7 @@ def run_perf_once(
             "perphil_tpu_version": perphil_tpu.__version__,
             "backend": backend_used,
             "repeats": repeats,
+            "chain_repeats": getattr(_solve_wall, "last_chain_repeats", None),
             "device": str(jax.devices()[0]),
         },
         memory=memory,

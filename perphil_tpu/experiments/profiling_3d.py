@@ -82,11 +82,9 @@ def run_perf_once_3d(
         times.update(ev_times)
         backend_used = "events"
     else:
-        t0 = time.perf_counter()
-        for _ in range(max(1, repeats)):
-            out = solver(g1, g2)
-        _block(out)
-        wall = time.perf_counter() - t0
+        from perphil_tpu.experiments.profiling import _solve_wall
+
+        wall, _ = _solve_wall(solver, g1, g2, repeats)
         times["KSPSolve"] = wall
         backend_used = "wall"
     times["PCSetUp"] = t_setup
