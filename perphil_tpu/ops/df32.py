@@ -22,12 +22,44 @@ from __future__ import annotations
 import itertools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 DF = Tuple[jnp.ndarray, jnp.ndarray]
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 (f32 has 24-bit mantissa)
+# --- CPU-jit hazard (XLA:CPU only; TPU-class backends are unaffected) ------
+#
+# XLA:CPU duplicates a producer expression into each consumer fusion, and
+# LLVM then FMA-contracts single-use ``a*b +/- c`` patterns independently in
+# each fusion. For an EFT that means e.g. ``fast_two_sum(p, e)``'s ``s`` and
+# ``err`` outputs each re-derive ``p = a*b`` and contract it into their own
+# adds, so ``p`` never exists as ONE rounded value and the error term
+# collapses to f32-grade noise (measured: 5.8e-8 relative in df_scale under
+# plain jit vs 6e-15 eager). ``lax.optimization_barrier`` does NOT help —
+# XLA:CPU expands barriers away before fusion. No XLA flag disables the
+# contraction selectively; ``--xla_backend_optimization_level=0`` does (it
+# bypasses LLVM's DAG combiner), verified to restore bit-exact eager==jit.
+#
+# Production is unaffected: CPU solves dispatch to native f64 (x64), and the
+# df32 path runs on TPU-class backends where XLA does not value-change
+# mul+add across HLO ops (the df parity suites pass on hardware). Any CPU
+# *validation* of df32 numerics must compile with the options below.
+
+
+def eft_safe_compiler_options() -> dict:
+    """Compiler options under which CPU-jitted EFT code is bit-exact with
+    eager semantics (see the hazard note above). Usage::
+
+        fn = jax.jit(f).lower(*args).compile(
+            compiler_options=eft_safe_compiler_options())
+
+    Empty on TPU-class backends (no change); on CPU it disables the LLVM
+    backend optimization that licenses FMA contraction inside fusions.
+    """
+    if jax.default_backend().lower() in ("tpu", "axon"):
+        return {}
+    return {"xla_backend_optimization_level": "0"}
 
 
 def two_sum(a, b) -> DF:
@@ -46,9 +78,31 @@ def fast_two_sum(a, b) -> DF:
 
 
 def split(a) -> DF:
-    """Dekker split: a = hi + lo with hi, lo having 12-bit mantissas."""
-    t = _SPLITTER * a
-    hi = t - (t - a)
+    """Veltkamp split: a = hi + lo with both halves' significands short
+    enough (<= 12 bits each for f32) that every cross product in
+    ``two_prod`` is exactly representable in the working precision.
+
+    Implemented by integer mantissa masking (round-to-nearest-short via
+    add-then-truncate on the bit pattern) rather than Dekker's classic
+    multiplicative splitter ``t = (2^12+1)*a; hi = t - (t - a)``. The
+    multiplicative form depends on each intermediate being rounded
+    separately, which LLVM's FMA contraction inside XLA:CPU fused loops is
+    licensed to break (e.g. ``t - a`` contracts to ``fma(4097, a, -a)``,
+    skipping the rounding of ``t``); the breakage is fusion-context
+    dependent, so the same EFT gives different answers eager vs jit vs
+    inside a Pallas kernel. With masked splitting there is no multiply to
+    contract, and because the halves' products are exact,
+    ``fma(x, y, z) == RN(x*y) + z`` wherever contraction does fire later in
+    ``two_prod`` — a provable no-op. Bonus over Dekker: no overflow for
+    |a| > 2^115.
+    """
+    a = jnp.asarray(a)
+    if a.dtype == jnp.float64:  # CPU parity path under jax_enable_x64
+        uint, round_bit, keep = jnp.uint64, 1 << 26, ~np.uint64((1 << 27) - 1)
+    else:
+        uint, round_bit, keep = jnp.uint32, 1 << 11, ~np.uint32((1 << 12) - 1)
+    bits = jax.lax.bitcast_convert_type(a, uint)
+    hi = jax.lax.bitcast_convert_type((bits + uint(round_bit)) & uint(keep), a.dtype)
     lo = a - hi
     return hi, lo
 

@@ -796,11 +796,23 @@ def _build_linear_solver_df(
     """
     from perphil_tpu.ops.df32 import df_from_f64
     from perphil_tpu.ops.krylov import gmres_df
+    from perphil_tpu.ops.pallas_gmres import fused_gmres_df, fused_gmres_supported
 
     pc_df = _monolithic_pc_df(op, flat)
     mv_df = op.stacked_matvec_df()
     bdry = jnp.asarray(op._mask_arrays[0])
     with_guess = bool(flat.get("_x0_continuation", False))
+
+    if pc_df is None and fused_gmres_supported(op):
+        # small-problem fast path: each restart cycle is ONE Pallas kernel
+        # (launch-overhead-bound at these sizes; see ops/pallas_gmres)
+        def _gmres(b, x0, **kw):
+            return fused_gmres_df(op, b, x0_df=x0, restart=restart, **kw)
+    else:
+        def _gmres(b, x0, **kw):
+            return gmres_df(
+                mv_df, b, x0_df=x0, restart=restart, M_inv_df=pc_df, **kw
+            )
 
     def _stack(a, b):
         return jnp.stack([a[0], b[0]]), jnp.stack([a[1], b[1]])
@@ -826,9 +838,8 @@ def _build_linear_solver_df(
             b, _ = _prep(g1, g2)
             x0h = jnp.stack([x01, x02]).astype(jnp.float32)
             x0l = (jnp.stack([x01, x02]) - x0h.astype(jnp.float64)).astype(jnp.float32)
-            res = gmres_df(
-                mv_df, b, x0_df=(x0h, x0l), rtol=0.0, atol=atol_abs,
-                max_it=max_it, restart=restart, M_inv_df=pc_df,
+            res = _gmres(
+                b, (x0h, x0l), rtol=0.0, atol=atol_abs, max_it=max_it
             )
             return _finish(res)
 
@@ -840,10 +851,7 @@ def _build_linear_solver_df(
 
     def solve_krylov_df(g1, g2):
         b, x0 = _prep(g1, g2)
-        res = gmres_df(
-            mv_df, b, x0_df=x0, rtol=rtol, atol=atol, max_it=max_it,
-            restart=restart, M_inv_df=pc_df,
-        )
+        res = _gmres(b, x0, rtol=rtol, atol=atol, max_it=max_it)
         return _finish(res)
 
     return _lifted_jit(solve_krylov_df, *_example_grids(op, 2))

@@ -1,0 +1,119 @@
+"""Fused Pallas GMRES cycle kernel (``ops/pallas_gmres``).
+
+Runs in Pallas interpret mode on CPU, compiled with
+``eft_safe_compiler_options()``: XLA:CPU's fusion-duplication + LLVM FMA
+contraction otherwise breaks the double-float EFTs (see the hazard note in
+``ops/df32``), which is a CPU-jit artifact, not a kernel property.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perphil_tpu.forms import create_function_spaces, mixed_space
+from perphil_tpu.mesh import create_mesh
+from perphil_tpu.models.dpp import DPPParameters
+from perphil_tpu.ops.assembly import DirichletBC, DPPOperator
+from perphil_tpu.ops.df32 import df_from_f64, eft_safe_compiler_options
+from perphil_tpu.ops.dfvec import df_norm, df_vec_sub
+from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+
+def _setup(N):
+    params = DPPParameters()
+    mesh = create_mesh(N, N)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    op = DPPOperator(W, params)
+    g1 = jnp.asarray(DirichletBC(W.sub(0), p1e).grid_values(mesh))
+    g2 = jnp.asarray(DirichletBC(W.sub(1), p2e).grid_values(mesh))
+    g1d, g2d = df_from_f64(g1), df_from_f64(g2)
+    b1, b2 = op.lifted_rhs_df(g1d, g2d)
+    b = (jnp.stack([b1[0], b2[0]]), jnp.stack([b1[1], b2[1]]))
+    bdry = jnp.asarray(op._mask_arrays[0])
+    x01 = (jnp.where(bdry, g1d[0], 0.0), jnp.where(bdry, g1d[1], 0.0))
+    x02 = (jnp.where(bdry, g2d[0], 0.0), jnp.where(bdry, g2d[1], 0.0))
+    x0 = (jnp.stack([x01[0], x02[0]]), jnp.stack([x01[1], x02[1]]))
+    return op, b, x0
+
+
+def test_one_cycle_estimate_matches_true_residual():
+    """The kernel's Givens residual estimate after one GMRES(30) cycle must
+    equal the true residual ||b - A x_1|| (self-consistency of the
+    R/g/y/update chain) — the property that exposed the CPU EFT hazard."""
+    from perphil_tpu.ops.pallas_gmres import _build_cycle
+
+    op, b, x0 = _setup(8)
+    cycle_call, geo = _build_cycle(op, 30)
+
+    def one_cycle(xh, xl, bh, bl):
+        return cycle_call(
+            xh, xl, bh, bl,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray([0.0, 0.0], jnp.float32),
+            jnp.asarray([3.4e38, 0.0], jnp.float32),
+            100000,
+        )
+
+    args = (geo.pack(x0[0]), geo.pack(x0[1]), geo.pack(b[0]), geo.pack(b[1]))
+    fn = (
+        jax.jit(one_cycle)
+        .lower(*args)
+        .compile(compiler_options=eft_safe_compiler_options())
+    )
+    xh2, xl2, j, its, rn = fn(*args)
+    assert int(j[0]) == 30
+    est = float(rn[0]) + float(rn[1])
+    x1 = (geo.unpack(xh2), geo.unpack(xl2))
+    true = float(df_norm(df_vec_sub(b, op.stacked_matvec_df()(x1))))
+    assert est > 0
+    assert abs(true - est) <= 1e-6 * est
+
+
+def test_fused_solve_matches_gmres_df():
+    """Full fused solve == XLA-level ``gmres_df``: identical iteration
+    count, matching residual and solution (both run the same df arithmetic;
+    only the reduction-tree shape differs)."""
+    from perphil_tpu.ops.krylov import gmres_df
+    from perphil_tpu.ops.pallas_gmres import fused_gmres_df
+
+    op, b, x0 = _setup(8)
+    mv = op.stacked_matvec_df()
+    opts = eft_safe_compiler_options()
+    kw = dict(rtol=1e-8, atol=1e-12, max_it=50000, restart=30)
+    ref = (
+        jax.jit(lambda: gmres_df(mv, b, x0_df=x0, **kw))
+        .lower()
+        .compile(compiler_options=opts)
+    )()
+    fus = (
+        jax.jit(lambda: fused_gmres_df(op, b, x0, **kw))
+        .lower()
+        .compile(compiler_options=opts)
+    )()
+    assert int(fus.iterations) == int(ref.iterations)
+    assert bool(ref.converged) and bool(fus.converged)
+    # both terminate at the first iterate under tol = rtol*||r0||; the exact
+    # sub-tolerance estimate differs (different df reduction-tree shapes)
+    rnorm0 = float(df_norm(df_vec_sub(b, mv(x0))))
+    assert float(fus.residual_norm) <= 1e-8 * rnorm0
+    dx = float(df_norm(df_vec_sub(ref.x, fus.x)))
+    assert dx <= 5e-9 * float(df_norm(ref.x))
+
+
+def test_fused_gmres_supported_gating(monkeypatch):
+    from perphil_tpu.ops import pallas_gmres
+
+    op, _, _ = _setup(8)
+    # CPU backend: off by default, on with force
+    monkeypatch.delenv("PERPHIL_TPU_FUSED_GMRES", raising=False)
+    if jax.default_backend().lower() not in ("tpu", "axon"):
+        assert not pallas_gmres.fused_gmres_supported(op)
+    monkeypatch.setenv("PERPHIL_TPU_FUSED_GMRES", "force")
+    assert pallas_gmres.fused_gmres_supported(op)
+    monkeypatch.setenv("PERPHIL_TPU_FUSED_GMRES", "0")
+    assert not pallas_gmres.fused_gmres_supported(op)
