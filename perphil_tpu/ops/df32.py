@@ -97,6 +97,17 @@ def split(a) -> DF:
     |a| > 2^115.
     """
     a = jnp.asarray(a)
+    if a.ndim == 0:
+        # Mosaic's tpu.bitcast accepts vectors only, so 0-d operands (the
+        # SMEM Givens/Hessenberg scalar chains in the fused Pallas kernels,
+        # and trace-time constants) use the multiplicative Dekker split.
+        # Safe there: Mosaic compiles the written op sequence literally,
+        # and CPU validation of kernel numerics compiles with
+        # eft_safe_compiler_options() (see hazard note above).
+        splitter = a.dtype.type(134217729.0 if a.dtype == jnp.float64 else 4097.0)
+        t = splitter * a
+        hi = t - (t - a)
+        return hi, a - hi
     if a.dtype == jnp.float64:  # CPU parity path under jax_enable_x64
         uint, round_bit, keep = jnp.uint64, 1 << 26, ~np.uint64((1 << 27) - 1)
     else:

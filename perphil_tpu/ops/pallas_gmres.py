@@ -1,18 +1,21 @@
-"""Fully fused Pallas GMRES for small problems: one kernel per restart cycle.
+"""Fully fused Pallas GMRES for small problems: one kernel per SOLVE.
 
 Why: the df32 GMRES in ``ops/krylov.py`` runs each Arnoldi iteration as
-~30-50 separate XLA kernels (stencil shifts, the log-depth double-float
-reduction trees, the f64 scalar chain), so on TPU a small-N iteration costs
-100-300 us of launch/sequencing overhead against microseconds of compute.
-The reference's CPU PETSc runs the same iteration in ~7-80 us at these
-sizes (``/root/reference/notebooks/results-conforming-2d/petsc_profiling/
-petsc_perf_breakdown.csv``), which made unpreconditioned GMRES at 2D
-N in [8, 64] and 3D nx in [4, 8] the only solver cells still losing to the
-CPU baseline. This module fuses an entire GMRES(30) restart cycle —
-residual, matvec, double-float classical Gram-Schmidt, Givens rotations,
-triangular solve, solution update — into ONE Pallas kernel whose state
-lives in VMEM/SMEM for the whole cycle; per-iteration cost drops to pure
-VPU compute.
+~30-50 separate XLA kernels, and on this backend EVERY XLA-level sequencing
+step is brutally expensive — measured floors (2026-08-17, axon/v5e): a
+trivial ``lax.scan`` step costs ~590 us, a pallas_call inside a scan ~7 ms,
+a cold single dispatch ~50 ms, while IN-KERNEL (Mosaic) loop iterations are
+nearly free (<0.1 us marginal; an empty 30-iteration kernel body times the
+same as the full GMRES body). The reference's CPU PETSc runs an iteration
+in ~7-80 us at small N (``/root/reference/notebooks/results-conforming-2d/
+petsc_profiling/petsc_perf_breakdown.csv``), which made unpreconditioned
+GMRES at 2D N in [8, 64] and 3D nx in [4, 8] the only solver cells still
+losing to the CPU baseline. The consequence is architectural: ALL
+sequential structure must live inside one kernel. This module runs the
+ENTIRE GMRES(30) solve — outer restart loop (``lax.while_loop``), residual,
+matvec, double-float batched classical Gram-Schmidt, Givens rotations,
+triangular solve, solution update, convergence/divergence tests — as ONE
+Pallas kernel whose state lives in VMEM/SMEM for the whole solve.
 
 Numerics: identical double-float (two-f32) vector arithmetic as
 ``ops/krylov.gmres_df`` (same EFT primitives from ``ops/df32``), with the
@@ -32,9 +35,9 @@ cross-plane and cross-field bleed; boundary masking restores identity
 rows). Rp is padded to a power of two so reductions are exact halving
 trees (padding rows are zero and participate harmlessly).
 
-The restart-cycle loop stays at the XLA level (``lax.while_loop`` around
-the pallas_call), mirroring ``gmres_df``'s outer ``cycle`` loop including
-its divergence / non-finite / no-progress exits.
+The outer restart loop runs in-kernel, mirroring ``gmres_df``'s outer
+``cycle`` loop including its divergence / non-finite / no-progress exits;
+rnorm0/tol/div are computed in-kernel in double-float.
 """
 
 from __future__ import annotations
@@ -63,13 +66,27 @@ except ImportError:  # pragma: no cover
 
 
 _LANES = 128
+# Gate on the dominant VMEM tenant (the hi+lo Krylov basis). Total scoped
+# VMEM ~= 3x basis (in/out buffers + matvec/CGS temporaries); the kernel
+# raises Mosaic's scoped-vmem limit to _VMEM_LIMIT accordingly (v5e has
+# 128 MiB VMEM; the default scoped limit is 16 MiB, which a 2D N=64 basis
+# alone exceeds).
 _VMEM_BUDGET_BYTES = int(
-    os.environ.get("PERPHIL_TPU_FUSED_GMRES_VMEM", str(12 * 1024 * 1024))
+    os.environ.get("PERPHIL_TPU_FUSED_GMRES_VMEM", str(20 * 1024 * 1024))
+)
+_VMEM_LIMIT = int(
+    os.environ.get("PERPHIL_TPU_FUSED_GMRES_VMEM_LIMIT", str(100 * 1024 * 1024))
 )
 
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
+
+
+def _fori(n: int, body, init):
+    """``lax.fori_loop`` with int32 bounds: python-int bounds become int64
+    under ``jax_enable_x64``, and Mosaic rejects 64-bit types in-kernel."""
+    return lax.fori_loop(jnp.int32(0), jnp.int32(n), body, init)
 
 
 # ---------------------------------------------------------------------------
@@ -286,7 +303,7 @@ def fused_gmres_supported(op) -> bool:
     if cols + 2 > _LANES:
         return False
     Rp = _next_pow2(2 * planes * (rows + 2))
-    vbytes = 2 * 31 * Rp * _LANES * 4  # hi+lo basis dominates VMEM
+    vbytes = 2 * 32 * Rp * _LANES * 4  # hi+lo basis (pow2-padded) dominates VMEM
     return vbytes <= _VMEM_BUDGET_BYTES
 
 
@@ -307,6 +324,8 @@ def _build_cycle(op, m: int, debug: bool = False):
     k1w, k2w, bw = float(p.k1 / p.mu), float(p.k2 / p.mu), float(p.beta / p.mu)
     Rp, Wp, Fr = geo.Rp, geo.Wp, geo.Fr
     m1 = m + 1
+    mS = _next_pow2(m1)  # basis rows padded to a power of two: zero rows
+    # make the batched basis reductions exact halving trees
     nS = m1 + 1  # SMEM vector extent (index j+1 <= m fits with slack)
     cgs2 = os.environ.get("PERPHIL_TPU_FUSED_CGS2", "1").lower() not in (
         "0",
@@ -369,6 +388,54 @@ def _build_cycle(op, m: int, debug: bool = False):
             terms = nxt
         return terms[0]
 
+    def _basis_dots(V, w):
+        """<V[i], w> for ALL basis rows in one batched reduction ->
+        (mS, 1, 1) df. One halving tree shared across the basis axis
+        replaces m1 sequential per-row trees — the dominant per-iteration
+        cost in the unbatched kernel (sub-lane slices carry fixed Mosaic
+        relayout overhead, so op count, not flops, set the speed)."""
+        wh = w[0][None]
+        wl = w[1][None]
+        ph, pe = two_prod(V[0], wh)
+        pe = pe + V[0] * wl + V[1] * wh
+        s = (ph, pe)
+        R = Rp
+        while R > 1:
+            half = R // 2
+            s = df_add(
+                (s[0][:, :half], s[1][:, :half]),
+                (s[0][:, half:R], s[1][:, half:R]),
+            )
+            R = half
+        # lane butterfly all-reduce: after log2(Wp) rotate+add steps every
+        # lane holds the SAME total (a balanced pairwise tree — exact df
+        # semantics, deterministic). Keeping the result lane-replicated at
+        # (mS, 1, Wp) sidesteps Mosaic's missing sublane+lane broadcast
+        # when the totals are scaled back onto (mS, Rp, Wp) in _basis_comb.
+        sh_ = Wp // 2
+        while sh_ >= 1:
+            rolled = (
+                pltpu.roll(s[0], jnp.int32(sh_), 2),
+                pltpu.roll(s[1], jnp.int32(sh_), 2),
+            )
+            s = df_add(s, rolled)
+            sh_ //= 2
+        return s  # (mS, 1, Wp), every lane = the dot value
+
+    def _basis_comb(V, s):
+        """sum_i s[i] * V[i] -> (Rp, Wp) df: broadcast df scale (sublane
+        axis only — s is lane-replicated) + exact halving over the
+        (power-of-two padded) basis axis."""
+        t = _df_scale(V, s)
+        B = mS
+        while B > 1:
+            half = B // 2
+            t = df_add(
+                (t[0][:half], t[1][:half]), (t[0][half:B], t[1][half:B])
+            )
+            B = half
+        return t[0][0], t[1][0]
+
     def _tree_dot(u, v):
         """df dot of packed df pairs -> df scalar (pair of () f32 values).
         Row/lane halving trees are exact because padding is zero."""
@@ -392,230 +459,295 @@ def _build_cycle(op, m: int, debug: bool = False):
 
     def kernel(*refs):
         (xh_ref, xl_ref, bh_ref, bl_ref, im_ref, bm_ref, fm_ref,
-         its_ref, tol_ref, div_ref, maxit_ref) = refs[:11]
-        n_out = 5 + (12 if debug else 0)
-        outs = refs[11 : 11 + n_out]
-        oxh_ref, oxl_ref, oj_ref, oits_ref, orn_ref = outs[:5]
-        debug_refs = outs[5:] if debug else None
+         its_ref, rtol_ref, atol_ref, dtol_ref, maxit_ref) = refs[:12]
+        n_out = 6 + (12 if debug else 0)
+        outs = refs[12 : 12 + n_out]
+        oxh_ref, oxl_ref, oj_ref, oits_ref, orn_ref, oconv_ref = outs[:6]
+        debug_refs = outs[6:] if debug else None
         (Vh_ref, Vl_ref,
          hh_ref, hl_ref, csh_ref, csl_ref, snh_ref, snl_ref, gh_ref, gl_ref,
-         yh_ref, yl_ref, ch_ref, cl_ref, rn_ref, st_ref,
-         Rh_ref, Rl_ref) = refs[11 + n_out :]
+         yh_ref, yl_ref, ch_ref, cl_ref, rn_ref, st_ref, td_ref,
+         Rh_ref, Rl_ref) = refs[12 + n_out :]
         imask = im_ref[:]
         bmask = bm_ref[:]
         fmask = fm_ref[:]
-        x = (xh_ref[:], xl_ref[:])
         b = (bh_ref[:], bl_ref[:])
-        tol = (tol_ref[0], tol_ref[1])
-        div = (div_ref[0], div_ref[1])
         max_it = maxit_ref[0]
 
-        # r = b - A x ; beta = ||r||
-        r = df_sub(b, _matvec(x, imask, bmask, fmask))
-        beta = _df_sqrt(_tree_dot(r, r))
-        nz = beta[0] > 0.0
-        inv = _df_div((1.0, 0.0), beta)
-        inv = (jnp.where(nz, inv[0], 1.0), jnp.where(nz, inv[1], 0.0))
-        v0 = _df_scale(r, inv)
+        # x lives in the output refs across restart cycles (in-place state)
+        oxh_ref[:] = xh_ref[:]
+        oxl_ref[:] = xl_ref[:]
 
-        Vh_ref[:] = jnp.zeros((m1, Rp, Wp), jnp.float32)
-        Vl_ref[:] = jnp.zeros((m1, Rp, Wp), jnp.float32)
-        Vh_ref[0] = v0[0]
-        Vl_ref[0] = v0[1]
-        for ref in (hh_ref, hl_ref, csh_ref, csl_ref, snh_ref, snl_ref,
-                    gh_ref, gl_ref, yh_ref, yl_ref, ch_ref, cl_ref):
-            ref[...] = jnp.zeros((nS,), jnp.float32)
-        Rh_ref[:] = jnp.zeros((m1, m1), jnp.float32)
-        Rl_ref[:] = jnp.zeros((m1, m1), jnp.float32)
-        gh_ref[0] = beta[0]
-        gl_ref[0] = beta[1]
-        rn_ref[0] = beta[0]
-        rn_ref[1] = beta[1]
-        st_ref[0] = its_ref[0]  # running iteration count
-        st_ref[1] = 0  # j = completed Arnoldi steps this cycle
-
-        def body(j, _):
-            rnorm = (rn_ref[0], rn_ref[1])
-            its = st_ref[0]
-            ok = (st_ref[1] == j) & (its < max_it)
-            ok &= _df_gt(rnorm, tol)
-            ok &= jnp.logical_not(_df_gt(rnorm, div))
-
-            @pl.when(ok)
-            def _():
-                vj = (Vh_ref[j], Vl_ref[j])
-                w = _matvec(vj, imask, bmask, fmask)
-                # classical Gram-Schmidt; projections accumulate through a
-                # pairwise df tree (like dfvec.df_basis_comb) so rounding
-                # stays ~log2(m)*eps_df
-                for j2 in range(m1):
-                    hj = _tree_dot((Vh_ref[j2], Vl_ref[j2]), w)
-                    hh_ref[j2] = hj[0]
-                    hl_ref[j2] = hj[1]
-                acc = _tree_reduce(
-                    [
-                        _df_scale((Vh_ref[j2], Vl_ref[j2]), (hh_ref[j2], hl_ref[j2]))
-                        for j2 in range(m1)
-                    ]
-                )
-                w = df_sub(w, acc)
-                if cgs2:
-                    # second Gram-Schmidt pass: restores the orthogonality
-                    # the single-pass df CGS loses near stagnation (which
-                    # otherwise inflates late-cycle iteration counts)
-                    for j2 in range(m1):
-                        cj = _tree_dot((Vh_ref[j2], Vl_ref[j2]), w)
-                        ch_ref[j2] = cj[0]
-                        cl_ref[j2] = cj[1]
-                    acc2 = _tree_reduce(
-                        [
-                            _df_scale(
-                                (Vh_ref[j2], Vl_ref[j2]), (ch_ref[j2], cl_ref[j2])
-                            )
-                            for j2 in range(m1)
-                        ]
-                    )
-                    w = df_sub(w, acc2)
-                    for j2 in range(m1):
-                        hj = df_add(
-                            (hh_ref[j2], hl_ref[j2]), (ch_ref[j2], cl_ref[j2])
-                        )
-                        hh_ref[j2] = hj[0]
-                        hl_ref[j2] = hj[1]
-                hj1 = _df_sqrt(_tree_dot(w, w))
-                pos = hj1[0] > 0.0
-                invn = _df_div((1.0, 0.0), hj1)
-                invn = (
-                    jnp.where(pos, invn[0], 1.0),
-                    jnp.where(pos, invn[1], 0.0),
-                )
-                wn = _df_scale(w, invn)
-                Vh_ref[j + 1] = wn[0]
-                Vl_ref[j + 1] = wn[1]
-                hh_ref[j + 1] = hj1[0]
-                hl_ref[j + 1] = hj1[1]
-
-                # stored Givens rotations 0..j-1 (sequential scalar chain)
-                def rot(i, carry):
-                    @pl.when(i < j)
-                    def _():
-                        c = (csh_ref[i], csl_ref[i])
-                        s = (snh_ref[i], snl_ref[i])
-                        hi_ = (hh_ref[i], hl_ref[i])
-                        hi1 = (hh_ref[i + 1], hl_ref[i + 1])
-                        t0 = df_add(_df_mul(c, hi_), _df_mul(s, hi1))
-                        t1 = df_sub(_df_mul(c, hi1), _df_mul(s, hi_))
-                        hh_ref[i] = t0[0]
-                        hl_ref[i] = t0[1]
-                        hh_ref[i + 1] = t1[0]
-                        hl_ref[i + 1] = t1[1]
-
-                    return carry
-
-                lax.fori_loop(0, m, rot, 0)
-
-                # new rotation zeroing h[j+1]
-                a_ = (hh_ref[j], hl_ref[j])
-                b_ = (hh_ref[j + 1], hl_ref[j + 1])
-                den = _df_sqrt(df_add(_df_mul(a_, a_), _df_mul(b_, b_)))
-                dpos = den[0] > 0.0
-                den_s = (jnp.where(dpos, den[0], 1.0), den[1])
-                cn = _df_div(a_, den_s)
-                sn_ = _df_div(b_, den_s)
-                cn = (jnp.where(dpos, cn[0], 1.0), jnp.where(dpos, cn[1], 0.0))
-                sn_ = (
-                    jnp.where(dpos, sn_[0], 0.0),
-                    jnp.where(dpos, sn_[1], 0.0),
-                )
-                csh_ref[j] = cn[0]
-                csl_ref[j] = cn[1]
-                snh_ref[j] = sn_[0]
-                snl_ref[j] = sn_[1]
-                hjj = df_add(_df_mul(cn, a_), _df_mul(sn_, b_))
-                hh_ref[j] = hjj[0]
-                hl_ref[j] = hjj[1]
-                hh_ref[j + 1] = 0.0
-                hl_ref[j + 1] = 0.0
-
-                def copycol(i, carry):
-                    Rh_ref[i, j] = hh_ref[i]
-                    Rl_ref[i, j] = hl_ref[i]
-                    return carry
-
-                lax.fori_loop(0, m, copycol, 0)
-
-                gj = (gh_ref[j], gl_ref[j])
-                t0 = _df_mul(cn, gj)
-                t1 = _df_mul(sn_, gj)
-                gh_ref[j] = t0[0]
-                gl_ref[j] = t0[1]
-                gh_ref[j + 1] = -t1[0]
-                gl_ref[j + 1] = -t1[1]
-                neg = gh_ref[j + 1] < 0.0
-                rn_ref[0] = jnp.abs(gh_ref[j + 1])
-                rn_ref[1] = jnp.where(neg, -gl_ref[j + 1], gl_ref[j + 1])
-                st_ref[0] = its + 1
-                st_ref[1] = j + 1
-
-            return _
-
-        lax.fori_loop(0, m, lambda j, c: (body(j, c), 0)[1], 0)
-        j = st_ref[1]
-
-        # back substitution y = R[:j,:j]^{-1} g[:j] (y beyond j stays 0)
-        def back(i2, carry):
-            i = m - 1 - i2
-
-            @pl.when(i < j)
-            def _():
-                def inner(k, acc):
-                    take = k > i
-                    term = _df_mul(
-                        (Rh_ref[i, k], Rl_ref[i, k]), (yh_ref[k], yl_ref[k])
-                    )
-                    return df_add(
-                        acc,
-                        (
-                            jnp.where(take, term[0], 0.0),
-                            jnp.where(take, term[1], 0.0),
-                        ),
-                    )
-
-                acc = lax.fori_loop(
-                    0, m, inner, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
-                )
-                s = df_sub((gh_ref[i], gl_ref[i]), acc)
-                rii = (Rh_ref[i, i], Rl_ref[i, i])
-                safe = jnp.abs(rii[0]) > 0.0
-                yi = _df_div(s, (jnp.where(safe, rii[0], 1.0), rii[1]))
-                yh_ref[i] = jnp.where(safe, yi[0], 0.0)
-                yl_ref[i] = jnp.where(safe, yi[1], 0.0)
-
-            return carry
-
-        lax.fori_loop(0, m, back, 0)
-
-        # x += sum_i y_i V_i (pairwise df tree, as in the projections)
-        upd = _tree_reduce(
-            [
-                _df_scale((Vh_ref[j2], Vl_ref[j2]), (yh_ref[j2], yl_ref[j2]))
-                for j2 in range(m)
-            ]
+        # rnorm0, tol, div — the whole-solve quantities (gmres_df computes
+        # these in f64 at the XLA level; here they are ~49-bit df, which
+        # only matters when an estimate lands within ~1e-15 of tol)
+        r0 = df_sub(b, _matvec((oxh_ref[:], oxl_ref[:]), imask, bmask, fmask))
+        beta0 = _df_sqrt(_tree_dot(r0, r0))
+        rtol_p = (rtol_ref[0], rtol_ref[1])
+        atol_p = (atol_ref[0], atol_ref[1])
+        dtol_p = (dtol_ref[0], dtol_ref[1])
+        t_rel = _df_mul(rtol_p, beta0)
+        use_rel = _df_gt(t_rel, atol_p)
+        tol = (
+            jnp.where(use_rel, t_rel[0], atol_p[0]),
+            jnp.where(use_rel, t_rel[1], atol_p[1]),
         )
-        if debug_refs is not None:
-            duh, dul, dy2h, dy2l = debug_refs[8:]
-            duh[:] = upd[0]
-            dul[:] = upd[1]
+        div = _df_mul(dtol_p, beta0)
+        td_ref[0] = tol[0]
+        td_ref[1] = tol[1]
+        td_ref[2] = div[0]
+        td_ref[3] = div[1]
+        rn_ref[0] = beta0[0]
+        rn_ref[1] = beta0[1]
+        st_ref[0] = its_ref[0]  # running iteration count
+        st_ref[1] = 0  # j = steps completed in the current cycle
+
+        def one_cycle():
+            x = (oxh_ref[:], oxl_ref[:])
+            tol = (td_ref[0], td_ref[1])
+            div = (td_ref[2], td_ref[3])
+
+            # r = b - A x ; beta = ||r||
+            r = df_sub(b, _matvec(x, imask, bmask, fmask))
+            beta = _df_sqrt(_tree_dot(r, r))
+            nz = beta[0] > 0.0
+            inv = _df_div((1.0, 0.0), beta)
+            inv = (jnp.where(nz, inv[0], 1.0), jnp.where(nz, inv[1], 0.0))
+            v0 = _df_scale(r, inv)
+
+            Vh_ref[:] = jnp.zeros((mS, Rp, Wp), jnp.float32)
+            Vl_ref[:] = jnp.zeros((mS, Rp, Wp), jnp.float32)
+            Vh_ref[0] = v0[0]
+            Vl_ref[0] = v0[1]
+            # SMEM accepts only scalar stores (Mosaic): zero just what can
+            # be read before it is written — y (consumed by the final
+            # update even when the cycle exits early) and R (the back-
+            # substitution masks discard k>=j terms via where(), but an
+            # uninitialized NaN would survive NaN*0 inside the masked df
+            # product). Everything else (h, cs, sn, g, c) is written before
+            # every read.
             for i in range(nS):
-                dy2h[i] = yh_ref[i]
-                dy2l[i] = yl_ref[i]
-        xnew = df_add(x, upd)
-        oxh_ref[:] = xnew[0]
-        oxl_ref[:] = xnew[1]
-        oj_ref[0] = j
+                yh_ref[i] = 0.0
+                yl_ref[i] = 0.0
+
+            def zero_R(i, carry):
+                for k in range(m1):  # static columns, dynamic row
+                    Rh_ref[i, k] = 0.0
+                    Rl_ref[i, k] = 0.0
+                return carry
+
+            _fori(m1, zero_R, 0)
+            gh_ref[0] = beta[0]
+            gl_ref[0] = beta[1]
+            rn_ref[0] = beta[0]
+            rn_ref[1] = beta[1]
+            st_ref[1] = 0
+
+            def body(j, _):
+                rnorm = (rn_ref[0], rn_ref[1])
+                its = st_ref[0]
+                ok = (st_ref[1] == j) & (its < max_it)
+                ok &= _df_gt(rnorm, tol)
+                ok &= jnp.logical_not(_df_gt(rnorm, div))
+
+                @pl.when(ok)
+                def _():
+                    vj = (Vh_ref[j], Vl_ref[j])
+                    w = _matvec(vj, imask, bmask, fmask)
+                    # classical Gram-Schmidt, batched over the whole basis:
+                    # zero rows beyond j contribute exactly nothing, and
+                    # the projections accumulate through pairwise df trees
+                    # (like dfvec.df_basis_comb) so rounding stays
+                    # ~log2(m)*eps_df
+                    V = (Vh_ref[:], Vl_ref[:])
+                    s = _basis_dots(V, w)
+                    w = df_sub(w, _basis_comb(V, s))
+                    if cgs2:
+                        # second Gram-Schmidt pass: restores the
+                        # orthogonality the single-pass df CGS loses near
+                        # stagnation (which otherwise inflates late-cycle
+                        # iteration counts)
+                        c = _basis_dots(V, w)
+                        w = df_sub(w, _basis_comb(V, c))
+                        s = df_add(s, c)
+                    for j2 in range(m1):
+                        hh_ref[j2] = s[0][j2, 0, 0]
+                        hl_ref[j2] = s[1][j2, 0, 0]
+                    hj1 = _df_sqrt(_tree_dot(w, w))
+                    pos = hj1[0] > 0.0
+                    invn = _df_div((1.0, 0.0), hj1)
+                    invn = (
+                        jnp.where(pos, invn[0], 1.0),
+                        jnp.where(pos, invn[1], 0.0),
+                    )
+                    wn = _df_scale(w, invn)
+                    Vh_ref[j + 1] = wn[0]
+                    Vl_ref[j + 1] = wn[1]
+                    hh_ref[j + 1] = hj1[0]
+                    hl_ref[j + 1] = hj1[1]
+
+                    # stored Givens rotations 0..j-1 (sequential scalars)
+                    def rot(i, carry):
+                        @pl.when(i < j)
+                        def _():
+                            c = (csh_ref[i], csl_ref[i])
+                            s = (snh_ref[i], snl_ref[i])
+                            hi_ = (hh_ref[i], hl_ref[i])
+                            hi1 = (hh_ref[i + 1], hl_ref[i + 1])
+                            t0 = df_add(_df_mul(c, hi_), _df_mul(s, hi1))
+                            t1 = df_sub(_df_mul(c, hi1), _df_mul(s, hi_))
+                            hh_ref[i] = t0[0]
+                            hl_ref[i] = t0[1]
+                            hh_ref[i + 1] = t1[0]
+                            hl_ref[i + 1] = t1[1]
+
+                        return carry
+
+                    _fori(m, rot, 0)
+
+                    # new rotation zeroing h[j+1]
+                    a_ = (hh_ref[j], hl_ref[j])
+                    b_ = (hh_ref[j + 1], hl_ref[j + 1])
+                    den = _df_sqrt(df_add(_df_mul(a_, a_), _df_mul(b_, b_)))
+                    dpos = den[0] > 0.0
+                    den_s = (jnp.where(dpos, den[0], 1.0), den[1])
+                    cn = _df_div(a_, den_s)
+                    sn_ = _df_div(b_, den_s)
+                    cn = (
+                        jnp.where(dpos, cn[0], 1.0),
+                        jnp.where(dpos, cn[1], 0.0),
+                    )
+                    sn_ = (
+                        jnp.where(dpos, sn_[0], 0.0),
+                        jnp.where(dpos, sn_[1], 0.0),
+                    )
+                    csh_ref[j] = cn[0]
+                    csl_ref[j] = cn[1]
+                    snh_ref[j] = sn_[0]
+                    snl_ref[j] = sn_[1]
+                    hjj = df_add(_df_mul(cn, a_), _df_mul(sn_, b_))
+                    hh_ref[j] = hjj[0]
+                    hl_ref[j] = hjj[1]
+                    hh_ref[j + 1] = 0.0
+                    hl_ref[j + 1] = 0.0
+
+                    def copycol(i, carry):
+                        Rh_ref[i, j] = hh_ref[i]
+                        Rl_ref[i, j] = hl_ref[i]
+                        return carry
+
+                    _fori(m, copycol, 0)
+
+                    gj = (gh_ref[j], gl_ref[j])
+                    t0 = _df_mul(cn, gj)
+                    t1 = _df_mul(sn_, gj)
+                    gh_ref[j] = t0[0]
+                    gl_ref[j] = t0[1]
+                    gh_ref[j + 1] = -t1[0]
+                    gl_ref[j + 1] = -t1[1]
+                    neg = gh_ref[j + 1] < 0.0
+                    rn_ref[0] = jnp.abs(gh_ref[j + 1])
+                    rn_ref[1] = jnp.where(neg, -gl_ref[j + 1], gl_ref[j + 1])
+                    st_ref[0] = its + 1
+                    st_ref[1] = j + 1
+
+                return _
+
+            _fori(m, lambda j, c: (body(j, c), 0)[1], 0)
+            j = st_ref[1]
+
+            # back substitution y = R[:j,:j]^{-1} g[:j] (y beyond j stays 0)
+            def back(i2, carry):
+                i = m - 1 - i2
+
+                @pl.when(i < j)
+                def _():
+                    def inner(k, acc):
+                        take = k > i
+                        term = _df_mul(
+                            (Rh_ref[i, k], Rl_ref[i, k]),
+                            (yh_ref[k], yl_ref[k]),
+                        )
+                        return df_add(
+                            acc,
+                            (
+                                jnp.where(take, term[0], 0.0),
+                                jnp.where(take, term[1], 0.0),
+                            ),
+                        )
+
+                    acc = _fori(
+                        m,
+                        inner,
+                        (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+                    )
+                    s = df_sub((gh_ref[i], gl_ref[i]), acc)
+                    rii = (Rh_ref[i, i], Rl_ref[i, i])
+                    safe = jnp.abs(rii[0]) > 0.0
+                    yi = _df_div(s, (jnp.where(safe, rii[0], 1.0), rii[1]))
+                    yh_ref[i] = jnp.where(safe, yi[0], 0.0)
+                    yl_ref[i] = jnp.where(safe, yi[1], 0.0)
+
+                return carry
+
+            _fori(m, back, 0)
+
+            # x += sum_i y_i V_i (pairwise df tree, as in the projections)
+            upd = _tree_reduce(
+                [
+                    _df_scale(
+                        (Vh_ref[j2], Vl_ref[j2]), (yh_ref[j2], yl_ref[j2])
+                    )
+                    for j2 in range(m)
+                ]
+            )
+            if debug_refs is not None:
+                duh, dul, dy2h, dy2l = debug_refs[8:]
+                duh[:] = upd[0]
+                dul[:] = upd[1]
+                for i in range(nS):
+                    dy2h[i] = yh_ref[i]
+                    dy2l[i] = yl_ref[i]
+            xnew = df_add((oxh_ref[:], oxl_ref[:]), upd)
+            oxh_ref[:] = xnew[0]
+            oxl_ref[:] = xnew[1]
+            return j
+
+        def _done_now():
+            """gmres_df's outer-loop exit tests, on the current state."""
+            tol = (td_ref[0], td_ref[1])
+            div = (td_ref[2], td_ref[3])
+            rnorm = (rn_ref[0], rn_ref[1])
+            rsum = rn_ref[0] + rn_ref[1]
+            done = jnp.logical_not(_df_gt(rnorm, tol))
+            done |= st_ref[0] >= max_it
+            done |= _df_gt(rnorm, div)
+            done |= jnp.logical_not(jnp.isfinite(rsum))
+            return done
+
+        init_done = _done_now()
+
+        def cycle_cond(carry):
+            return carry == 0
+
+        def cycle_body(carry):
+            j = one_cycle()
+            done = _done_now() | (j == 0)
+            return jnp.where(done, jnp.int32(1), jnp.int32(0))
+
+        lax.while_loop(
+            cycle_cond,
+            cycle_body,
+            jnp.where(init_done, jnp.int32(1), jnp.int32(0)),
+        )
+
+        oj_ref[0] = st_ref[1]
         oits_ref[0] = st_ref[0]
         orn_ref[0] = rn_ref[0]
         orn_ref[1] = rn_ref[1]
+        tol_f = (td_ref[0], td_ref[1])
+        conv = jnp.logical_not(_df_gt((rn_ref[0], rn_ref[1]), tol_f))
+        oconv_ref[0] = jnp.where(conv, jnp.int32(1), jnp.int32(0))
         if debug_refs is not None:
             dVh, dVl, dRh, dRl, dgh, dgl, dyh, dyl = debug_refs[:8]
             dVh[:] = Vh_ref[:]
@@ -632,21 +764,22 @@ def _build_cycle(op, m: int, debug: bool = False):
     bmask_a = jnp.asarray(geo.bmask)
     fmask_a = jnp.asarray(geo.fmask)
 
-    def cycle_call(xh, xl, bh, bl, its, tol2, div2, max_it):
+    def solve_call(xh, xl, bh, bl, its, rtol2, atol2, dtol2, max_it):
         out_shape = (
             jax.ShapeDtypeStruct((Rp, Wp), jnp.float32),
             jax.ShapeDtypeStruct((Rp, Wp), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
         )
         vm = pl.BlockSpec(memory_space=pltpu.VMEM)
         sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-        out_specs = (vm, vm, sm, sm, sm)
+        out_specs = (vm, vm, sm, sm, sm, sm)
         if debug:
             out_shape = out_shape + (
-                jax.ShapeDtypeStruct((m1, Rp, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((m1, Rp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((mS, Rp, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((mS, Rp, Wp), jnp.float32),
                 jax.ShapeDtypeStruct((m1, m1), jnp.float32),
                 jax.ShapeDtypeStruct((m1, m1), jnp.float32),
                 jax.ShapeDtypeStruct((nS,), jnp.float32),
@@ -664,28 +797,42 @@ def _build_cycle(op, m: int, debug: bool = False):
         return pl.pallas_call(
             kernel,
             out_shape=out_shape,
-            in_specs=[vm, vm, vm, vm, vm, vm, vm, sm, sm, sm, sm],
+            in_specs=[vm, vm, vm, vm, vm, vm, vm, sm, sm, sm, sm, sm],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((m1, Rp, Wp), jnp.float32),
-                pltpu.VMEM((m1, Rp, Wp), jnp.float32),
+                pltpu.VMEM((mS, Rp, Wp), jnp.float32),
+                pltpu.VMEM((mS, Rp, Wp), jnp.float32),
             ]
             + [pltpu.SMEM((nS,), jnp.float32)] * 12
             + [
                 pltpu.SMEM((2,), jnp.float32),  # rn_ref
                 pltpu.SMEM((2,), jnp.int32),  # st_ref (its, j)
+                pltpu.SMEM((4,), jnp.float32),  # td_ref (tol, div)
                 pltpu.SMEM((m1, m1), jnp.float32),
                 pltpu.SMEM((m1, m1), jnp.float32),
             ],
             interpret=(jax.default_backend().lower() not in ("tpu", "axon")),
+            compiler_params=(
+                pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+                if _HAS_PLTPU
+                else None
+            ),
         )(
             xh, xl, bh, bl, imask_a, bmask_a, fmask_a,
             jnp.reshape(its, (1,)).astype(jnp.int32),
-            tol2, div2,
+            rtol2, atol2, dtol2,
             jnp.asarray([max_it], jnp.int32),
         )
 
-    return cycle_call, geo
+    return solve_call, geo
+
+
+def _split_f64(s):
+    """f64 scalar -> (2,) f32 (hi, lo) pair array."""
+    s = jnp.asarray(s)
+    hi = s.astype(jnp.float32)
+    lo = (s - hi.astype(s.dtype)).astype(jnp.float32)
+    return jnp.stack([hi, lo])
 
 
 def fused_gmres_df(
@@ -699,56 +846,29 @@ def fused_gmres_df(
     dtol: float = DEFAULT_DTOL,
 ) -> KrylovResult:
     """Drop-in replacement for unpreconditioned
-    ``gmres_df(op.stacked_matvec_df(), ...)`` running each restart cycle as
-    one fused Pallas kernel. Same stopping semantics as
-    ``ops/krylov.gmres_df`` (reference KSP defaults:
-    ``/root/reference/src/perphil/solvers/parameters.py:12-21``)."""
-    from perphil_tpu.ops.dfvec import df_norm, df_vec_sub
-
-    cycle_call, geo = _build_cycle(op, int(restart))
-    mv = op.stacked_matvec_df()
-
-    r0 = df_vec_sub(b_df, mv(x0_df))
-    rnorm0 = df_norm(r0)  # f64 scalar at XLA level, matching gmres_df
-    tol = jnp.maximum(rtol * rnorm0, atol)
-    div = dtol * rnorm0
-
-    def _split_f64(s):
-        hi = s.astype(jnp.float32)
-        lo = (s - hi.astype(s.dtype)).astype(jnp.float32)
-        return jnp.stack([hi, lo])
-
-    tol2 = _split_f64(tol)
-    div2 = _split_f64(div)
+    ``gmres_df(op.stacked_matvec_df(), ...)`` running the ENTIRE solve —
+    restart loop included — as one Pallas kernel. Same stopping semantics
+    as ``ops/krylov.gmres_df`` (reference KSP defaults:
+    ``/root/reference/src/perphil/solvers/parameters.py:12-21``), with
+    rnorm0/tol/div computed in-kernel in double-float (~49-bit) instead of
+    f64. One kernel per solve because on this backend EVERY XLA-level loop
+    step costs ~0.6-7 ms of sequencing overhead while in-kernel loop
+    iterations are nearly free (measured: an empty 30-iteration in-kernel
+    body times identically to the full GMRES body)."""
+    solve_call, geo = _build_cycle(op, int(restart))
 
     xh = geo.pack(x0_df[0])
     xl = geo.pack(x0_df[1])
     bh = geo.pack(b_df[0])
     bl = geo.pack(b_df[1])
 
-    def cycle(state):
-        xh, xl, its, rnorm, done = state
-        xh2, xl2, j, its2, rn = cycle_call(
-            xh, xl, bh, bl, its, tol2, div2, max_it
-        )
-        j = j[0]
-        its2 = its2[0]
-        rnorm2 = rn[0].astype(rnorm.dtype) + rn[1].astype(rnorm.dtype)
-        done = (
-            (rnorm2 <= tol)
-            | (its2 >= max_it)
-            | (rnorm2 > div)
-            | jnp.logical_not(jnp.isfinite(rnorm2))
-            | (j == 0)
-        )
-        return xh2, xl2, its2, rnorm2, done
+    rtol2 = _split_f64(jnp.asarray(rtol, jnp.float64))
+    atol2 = _split_f64(jnp.asarray(atol, jnp.float64))
+    dtol2 = _split_f64(jnp.asarray(dtol, jnp.float64))
 
-    init_done = rnorm0 <= tol
-    its0 = jnp.asarray(0, jnp.int32)
-    xh, xl, its, rnorm, _ = lax.while_loop(
-        lambda s: jnp.logical_not(s[-1]),
-        cycle,
-        (xh, xl, its0, rnorm0, init_done),
-    )
-    x = (geo.unpack(xh), geo.unpack(xl))
-    return KrylovResult(x, its, rnorm, rnorm <= tol)
+    xh2, xl2, j, its, rn, conv = solve_call(
+        xh, xl, bh, bl, jnp.asarray(0, jnp.int32), rtol2, atol2, dtol2, max_it
+    )[:6]
+    rnorm = rn[0].astype(jnp.float64) + rn[1].astype(jnp.float64)
+    x = (geo.unpack(xh2), geo.unpack(xl2))
+    return KrylovResult(x, its[0], rnorm, conv[0] == 1)

@@ -44,29 +44,38 @@ def _setup(N):
 def test_one_cycle_estimate_matches_true_residual():
     """The kernel's Givens residual estimate after one GMRES(30) cycle must
     equal the true residual ||b - A x_1|| (self-consistency of the
-    R/g/y/update chain) — the property that exposed the CPU EFT hazard."""
+    R/g/y/update chain) — the property that exposed the CPU EFT hazard.
+    One cycle is forced via max_it=restart with rtol=atol=0 (no
+    convergence exit) and a huge dtol (no divergence exit). Small
+    restart/N: Pallas interpret mode slows steeply with both."""
     from perphil_tpu.ops.pallas_gmres import _build_cycle
 
-    op, b, x0 = _setup(8)
-    cycle_call, geo = _build_cycle(op, 30)
+    m = 5
+    op, b, x0 = _setup(4)
+    solve_call, geo = _build_cycle(op, m)
 
     def one_cycle(xh, xl, bh, bl):
-        return cycle_call(
+        return solve_call(
             xh, xl, bh, bl,
             jnp.asarray(0, jnp.int32),
-            jnp.asarray([0.0, 0.0], jnp.float32),
-            jnp.asarray([3.4e38, 0.0], jnp.float32),
-            100000,
+            jnp.asarray([0.0, 0.0], jnp.float32),  # rtol
+            jnp.asarray([0.0, 0.0], jnp.float32),  # atol
+            jnp.asarray([1e30, 0.0], jnp.float32),  # dtol
+            m,
         )
 
     args = (geo.pack(x0[0]), geo.pack(x0[1]), geo.pack(b[0]), geo.pack(b[1]))
+    # close over the packed inputs: with runtime jit arguments the CPU
+    # interpret path's loop state threading degrades ~1000x (354 s vs 0.1 s
+    # for the same 5 iterations, measured); constants sidestep it
     fn = (
-        jax.jit(one_cycle)
-        .lower(*args)
+        jax.jit(lambda: one_cycle(*args))
+        .lower()
         .compile(compiler_options=eft_safe_compiler_options())
     )
-    xh2, xl2, j, its, rn = fn(*args)
-    assert int(j[0]) == 30
+    xh2, xl2, j, its, rn, conv = fn()
+    assert int(j[0]) == m
+    assert int(its[0]) == m
     est = float(rn[0]) + float(rn[1])
     x1 = (geo.unpack(xh2), geo.unpack(xl2))
     true = float(df_norm(df_vec_sub(b, op.stacked_matvec_df()(x1))))
@@ -81,10 +90,11 @@ def test_fused_solve_matches_gmres_df():
     from perphil_tpu.ops.krylov import gmres_df
     from perphil_tpu.ops.pallas_gmres import fused_gmres_df
 
-    op, b, x0 = _setup(8)
+    op, b, x0 = _setup(4)
     mv = op.stacked_matvec_df()
     opts = eft_safe_compiler_options()
-    kw = dict(rtol=1e-8, atol=1e-12, max_it=50000, restart=30)
+    # restart=5 -> the in-kernel outer loop runs ~10 restart cycles
+    kw = dict(rtol=1e-8, atol=1e-12, max_it=100, restart=5)
     ref = (
         jax.jit(lambda: gmres_df(mv, b, x0_df=x0, **kw))
         .lower()
