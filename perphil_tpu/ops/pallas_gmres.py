@@ -176,6 +176,63 @@ def _shift_df(a, dr: int, dc: int):
     return _shift(a[0], dr, dc), _shift(a[1], dr, dc)
 
 
+def _axpy_const(acc, w: float, v):
+    """acc += w * v for a trace-time f64 constant w (df pair arrays)."""
+    w_hi, w_lo = _split_const(w)
+    ph, pe = _two_prod_wconst(v[0], w_hi)
+    pe = pe + v[1] * w_hi
+    term = fast_two_sum(ph, pe)
+    if float(w_lo) != 0.0:
+        p2, e2 = _two_prod_wconst(v[0], w_lo)
+        e2 = e2 + v[1] * w_lo
+        term = df_add(term, fast_two_sum(p2, e2))
+    return df_add(acc, term)
+
+
+def build_packed_matvec(geo, op):
+    """In-kernel packed df matvec with symmetric BC elimination for the
+    DPP operator (mirrors DPPOperator.matvec, ``ops/assembly.py:192-212``).
+    Shared by the fused GMRES and fused direct-solve kernels. Returns
+    ``matvec(z, imask, bmask, fmask) -> df pair``."""
+    K_st, M_st = compile_stencils(op.mesh)
+    K_st = np.asarray(K_st, np.float64)
+    M_st = np.asarray(M_st, np.float64)
+    p = op.params
+    k1w, k2w, bw = float(p.k1 / p.mu), float(p.k2 / p.mu), float(p.beta / p.mu)
+    Rp, Wp, Fr = geo.Rp, geo.Wp, geo.Fr
+
+    def _matvec(z, imask, bmask, fmask):
+        zi = _df_mask(z, imask)
+        zero = (jnp.zeros((Rp, Wp), jnp.float32), jnp.zeros((Rp, Wp), jnp.float32))
+        Kz = zero
+        Mz = zero
+        for sidx, (dr, dc) in geo.offsets():
+            kw = float(K_st[sidx])
+            mw = float(M_st[sidx])
+            if kw == 0.0 and mw == 0.0:
+                continue
+            sh = _shift_df(zi, dr, dc)
+            if kw != 0.0:
+                Kz = _axpy_const(Kz, kw, sh)
+            if mw != 0.0:
+                Mz = _axpy_const(Mz, mw, sh)
+        # swap field blocks of Mz (coupling term reads the *other* field)
+        swap = (
+            _shift(Mz[0], -Fr, 0) + _shift(Mz[0], Fr, 0),
+            _shift(Mz[1], -Fr, 0) + _shift(Mz[1], Fr, 0),
+        )
+        Kz1 = _df_mask(Kz, fmask)
+        Kz2 = _df_mask(Kz, 1.0 - fmask)
+        y = zero
+        y = _axpy_const(y, k1w, Kz1)
+        y = _axpy_const(y, k2w, Kz2)
+        y = _axpy_const(y, bw, Mz)
+        y = _axpy_const(y, -bw, swap)
+        return df_add(_df_mask(y, imask), _df_mask(z, bmask))
+
+    return _matvec
+
+
 # ---------------------------------------------------------------------------
 # packed-layout geometry
 # ---------------------------------------------------------------------------
@@ -317,12 +374,7 @@ def _build_cycle(op, m: int, debug: bool = False):
     cycle as a single pallas_call. ``debug`` adds V/R/g/y dumps to the
     outputs (numerics-validation harness only)."""
     geo = _geometry(op)
-    K_st, M_st = compile_stencils(op.mesh)
-    K_st = np.asarray(K_st, np.float64)
-    M_st = np.asarray(M_st, np.float64)
-    p = op.params
-    k1w, k2w, bw = float(p.k1 / p.mu), float(p.k2 / p.mu), float(p.beta / p.mu)
-    Rp, Wp, Fr = geo.Rp, geo.Wp, geo.Fr
+    Rp, Wp = geo.Rp, geo.Wp
     m1 = m + 1
     mS = _next_pow2(m1)  # basis rows padded to a power of two: zero rows
     # make the batched basis reductions exact halving trees
@@ -331,49 +383,7 @@ def _build_cycle(op, m: int, debug: bool = False):
         "0",
         "false",
     )
-
-    def _axpy_const(acc, w: float, v):
-        """acc += w * v for a trace-time f64 constant w (df pair arrays)."""
-        w_hi, w_lo = _split_const(w)
-        ph, pe = _two_prod_wconst(v[0], w_hi)
-        pe = pe + v[1] * w_hi
-        term = fast_two_sum(ph, pe)
-        if float(w_lo) != 0.0:
-            p2, e2 = _two_prod_wconst(v[0], w_lo)
-            e2 = e2 + v[1] * w_lo
-            term = df_add(term, fast_two_sum(p2, e2))
-        return df_add(acc, term)
-
-    def _matvec(z, imask, bmask, fmask):
-        """Packed df matvec with symmetric BC elimination
-        (mirrors DPPOperator.matvec, ``ops/assembly.py:192-212``)."""
-        zi = _df_mask(z, imask)
-        zero = (jnp.zeros((Rp, Wp), jnp.float32), jnp.zeros((Rp, Wp), jnp.float32))
-        Kz = zero
-        Mz = zero
-        for sidx, (dr, dc) in geo.offsets():
-            kw = float(K_st[sidx])
-            mw = float(M_st[sidx])
-            if kw == 0.0 and mw == 0.0:
-                continue
-            sh = _shift_df(zi, dr, dc)
-            if kw != 0.0:
-                Kz = _axpy_const(Kz, kw, sh)
-            if mw != 0.0:
-                Mz = _axpy_const(Mz, mw, sh)
-        # swap field blocks of Mz (coupling term reads the *other* field)
-        swap = (
-            _shift(Mz[0], -Fr, 0) + _shift(Mz[0], Fr, 0),
-            _shift(Mz[1], -Fr, 0) + _shift(Mz[1], Fr, 0),
-        )
-        Kz1 = _df_mask(Kz, fmask)
-        Kz2 = _df_mask(Kz, 1.0 - fmask)
-        y = zero
-        y = _axpy_const(y, k1w, Kz1)
-        y = _axpy_const(y, k2w, Kz2)
-        y = _axpy_const(y, bw, Mz)
-        y = _axpy_const(y, -bw, swap)
-        return df_add(_df_mask(y, imask), _df_mask(z, bmask))
+    _matvec = build_packed_matvec(geo, op)
 
     def _tree_reduce(terms):
         """Pairwise df-add reduction of a Python list of df pairs (mirrors

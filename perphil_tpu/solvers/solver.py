@@ -638,6 +638,15 @@ def _monolithic_direct(op: DPPOperator) -> Callable:
     """Exact direct solve of the monolithic system (grids -> grids)."""
     mesh = op.mesh
     if mesh.is_tensor_product:
+        from perphil_tpu.ops.pallas_direct import (
+            fused_direct_solve,
+            fused_direct_supported,
+        )
+
+        if fused_direct_supported(op):
+            # small meshes: the whole mixed-precision solve as ONE Pallas
+            # kernel (sequencing-bound otherwise; see ops/pallas_direct)
+            return fused_direct_solve(op)
         if _use_mixed_exact():
             from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
 
@@ -695,10 +704,18 @@ def _build_linear_solver(
         if pc_type in ("lu", "cholesky"):
             if str(flat.get("pc_factor_mat_solver_type", "")) == "fastdiag_mixed":
                 # production mixed-precision path: f32 MXU fast-diag +
-                # double-float refinement (f64-emulation-free hot loop)
+                # double-float refinement (f64-emulation-free hot loop);
+                # fully fused into one Pallas kernel on small meshes
                 from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
+                from perphil_tpu.ops.pallas_direct import (
+                    fused_direct_solve,
+                    fused_direct_supported,
+                )
 
-                direct = MixedPrecisionDPPDirect(mesh, params, padding=padding).solve
+                if fused_direct_supported(op):
+                    direct = fused_direct_solve(op)
+                else:
+                    direct = MixedPrecisionDPPDirect(mesh, params, padding=padding).solve
             else:
                 direct = _monolithic_direct(op)
 
