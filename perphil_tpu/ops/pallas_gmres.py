@@ -189,6 +189,106 @@ def _axpy_const(acc, w: float, v):
     return df_add(acc, term)
 
 
+def build_packed_ilu(geo, op):
+    """Host-side construction of the packed structured-ILU(0) data.
+
+    Returns ``(consts, meta)``: ``consts = (coeffs, lvmap, diag)`` to pass
+    as kernel inputs (Pallas kernels may not capture array constants) —
+    ``coeffs`` is ``(n_offs, Rp, Wp)`` f32 factor planes (one per structural
+    offset, entries placed at each row's packed position), ``lvmap`` the
+    wavefront level index per packed position (-1 outside the grid),
+    ``diag`` the U diagonal (1.0 outside) — and ``meta = (lower, upper,
+    shifts, nlev)`` with static offset index lists (preserving
+    ``StructuredILU0._sweep``'s accumulation order), packed (drow, dlane)
+    shifts, and the level count.
+
+    Mirrors ``ops/ilu.StructuredILU0`` exactly: same host factorization
+    (``ilu0_factorize``), same f32 application dtype, same unit-lower L /
+    diagonal-scaled U wavefront semantics — golden iteration counts
+    (5/11/20 at 2D N=4/16/32) carry over.
+    """
+    from perphil_tpu.ops.ilu import build_monolithic_system, ilu0_factorize
+
+    sys = build_monolithic_system(op.mesh, op.params)
+    fac = np.asarray(ilu0_factorize(sys), np.float64)
+    fac = np.where(sys.valid, fac, 0.0).astype(np.float32)
+    n = sys.n_nodes
+    shape = tuple(op.mesh.node_shape)
+    dim = len(shape)
+    Rp, Wp = geo.Rp, geo.Wp
+
+    # packed position of every flat row (field-major: row = f*n + node)
+    node_idx = np.arange(n)
+    multi = np.stack(np.unravel_index(node_idx, shape), axis=1)  # slowest-first
+    if dim == 2:
+        zz = np.zeros(n, np.int64)
+        yy, xx = multi[:, 0], multi[:, 1]
+    else:
+        zz, yy, xx = multi[:, 0], multi[:, 1], multi[:, 2]
+    pr = np.empty(2 * n, np.int64)
+    pc_ = np.empty(2 * n, np.int64)
+    for f in (0, 1):
+        base = f * geo.Fr + zz * geo.hrow + 1
+        pr[f * n : (f + 1) * n] = base + yy
+        pc_[f * n : (f + 1) * n] = 1 + xx
+
+    n_offs = fac.shape[1]
+    coeffs = np.zeros((n_offs, Rp, Wp), np.float32)
+    for t in range(n_offs):
+        coeffs[t, pr, pc_] = fac[:, t]
+    lvmap = np.full((Rp, Wp), -1, np.int32)
+    for i, rows in enumerate(sys.levels):
+        lvmap[pr[rows], pc_[rows]] = i
+    diag = np.ones((Rp, Wp), np.float32)
+    diag[pr, pc_] = fac[:, sys.center_index]
+
+    # packed shifts: col = row + delta -> position shift
+    # (field_delta*Fr + dz*hrow + dy, dx)
+    shifts = []
+    for t in range(n_offs):
+        g = sys.geoms[t]  # coordinate order (dx, dy[, dz])
+        dx, dy = int(g[0]), int(g[1])
+        dz = int(g[2]) if dim == 3 else 0
+        shifts.append((int(sys.blocks[t]) * geo.Fr + dz * geo.hrow + dy, dx))
+    lower = tuple(t for t in range(n_offs) if int(sys.deltas[t]) < 0)
+    upper = tuple(t for t in range(n_offs) if int(sys.deltas[t]) > 0)
+    consts = (jnp.asarray(coeffs), jnp.asarray(lvmap), jnp.asarray(diag))
+    meta = (lower, upper, tuple(shifts), len(sys.levels))
+    return consts, meta
+
+
+def make_ilu_apply(meta):
+    """Kernel-side z = U^{-1} L^{-1} r on packed f32 buffers via masked
+    wavefront level sweeps: each level recomputes the full (cheap,
+    in-kernel) stencil update and commits only its own rows — in-kernel
+    iterations are nearly free on this backend, so ~2*nlev masked passes
+    beat any XLA-level scheduling of the same recurrence."""
+    lower, upper, shifts, nlev = meta
+
+    def apply(r, coeffs, lvmap, diag):
+        zero = jnp.zeros_like(r)
+
+        def lbody(lv, z):
+            acc = r
+            for t in lower:
+                acc = acc - coeffs[t] * _shift(z, *shifts[t])
+            return jnp.where(lvmap == lv, acc, z)
+
+        y = _fori(nlev, lbody, zero)
+
+        def ubody(i, z):
+            lv = jnp.int32(nlev - 1) - i
+            acc = y
+            for t in upper:
+                acc = acc - coeffs[t] * _shift(z, *shifts[t])
+            acc = acc / diag
+            return jnp.where(lvmap == lv, acc, z)
+
+        return _fori(nlev, ubody, zero)
+
+    return apply
+
+
 def build_packed_matvec(geo, op):
     """In-kernel packed df matvec with symmetric BC elimination for the
     DPP operator (mirrors DPPOperator.matvec, ``ops/assembly.py:192-212``).
@@ -369,10 +469,11 @@ def fused_gmres_supported(op) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _build_cycle(op, m: int, debug: bool = False):
-    """Returns ``(cycle_call, geo)`` where ``cycle_call`` runs one GMRES(m)
-    cycle as a single pallas_call. ``debug`` adds V/R/g/y dumps to the
-    outputs (numerics-validation harness only)."""
+def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
+    """Returns ``(solve_call, geo)`` where ``solve_call`` runs a whole
+    (optionally left-preconditioned) GMRES(m) solve as a single
+    pallas_call. ``debug`` adds V/R/g/y dumps to the outputs
+    (numerics-validation harness only)."""
     geo = _geometry(op)
     Rp, Wp = geo.Rp, geo.Wp
     m1 = m + 1
@@ -384,6 +485,12 @@ def _build_cycle(op, m: int, debug: bool = False):
         "false",
     )
     _matvec = build_packed_matvec(geo, op)
+    if pc_type == "ilu":
+        ilu_consts, ilu_meta = build_packed_ilu(geo, op)
+        ilu_apply = make_ilu_apply(ilu_meta)
+    elif pc_type != "none":
+        raise ValueError(f"fused GMRES supports pc none/ilu, got {pc_type!r}")
+    n_pc_in = 3 if pc_type == "ilu" else 0
 
     def _tree_reduce(terms):
         """Pairwise df-add reduction of a Python list of df pairs (mirrors
@@ -468,21 +575,36 @@ def _build_cycle(op, m: int, debug: bool = False):
         return s[0][0, 0], s[1][0, 0]
 
     def kernel(*refs):
-        (xh_ref, xl_ref, bh_ref, bl_ref, im_ref, bm_ref, fm_ref,
-         its_ref, rtol_ref, atol_ref, dtol_ref, maxit_ref) = refs[:12]
+        (xh_ref, xl_ref, bh_ref, bl_ref, im_ref, bm_ref, fm_ref) = refs[:7]
+        pc_refs = refs[7 : 7 + n_pc_in]
+        (its_ref, rtol_ref, atol_ref, dtol_ref, maxit_ref) = refs[
+            7 + n_pc_in : 12 + n_pc_in
+        ]
         n_out = 6 + (12 if debug else 0)
-        outs = refs[12 : 12 + n_out]
+        outs = refs[12 + n_pc_in : 12 + n_pc_in + n_out]
         oxh_ref, oxl_ref, oj_ref, oits_ref, orn_ref, oconv_ref = outs[:6]
         debug_refs = outs[6:] if debug else None
         (Vh_ref, Vl_ref,
          hh_ref, hl_ref, csh_ref, csl_ref, snh_ref, snl_ref, gh_ref, gl_ref,
          yh_ref, yl_ref, ch_ref, cl_ref, rn_ref, st_ref, td_ref,
-         Rh_ref, Rl_ref) = refs[12 + n_out :]
+         Rh_ref, Rl_ref) = refs[12 + n_pc_in + n_out :]
         imask = im_ref[:]
         bmask = bm_ref[:]
         fmask = fm_ref[:]
         b = (bh_ref[:], bl_ref[:])
         max_it = maxit_ref[0]
+        if pc_type == "ilu":
+            co = pc_refs[0][:]
+            lvm = pc_refs[1][:]
+            dgp = pc_refs[2][:]
+
+            def P(v):
+                z = ilu_apply(v[0] + v[1], co, lvm, dgp)
+                return (z, jnp.zeros_like(z))
+        else:
+
+            def P(v):
+                return v
 
         # x lives in the output refs across restart cycles (in-place state)
         oxh_ref[:] = xh_ref[:]
@@ -490,8 +612,9 @@ def _build_cycle(op, m: int, debug: bool = False):
 
         # rnorm0, tol, div — the whole-solve quantities (gmres_df computes
         # these in f64 at the XLA level; here they are ~49-bit df, which
-        # only matters when an estimate lands within ~1e-15 of tol)
-        r0 = df_sub(b, _matvec((oxh_ref[:], oxl_ref[:]), imask, bmask, fmask))
+        # only matters when an estimate lands within ~1e-15 of tol).
+        # Left-preconditioned like gmres_df: P wraps every residual/matvec.
+        r0 = P(df_sub(b, _matvec((oxh_ref[:], oxl_ref[:]), imask, bmask, fmask)))
         beta0 = _df_sqrt(_tree_dot(r0, r0))
         rtol_p = (rtol_ref[0], rtol_ref[1])
         atol_p = (atol_ref[0], atol_ref[1])
@@ -517,8 +640,8 @@ def _build_cycle(op, m: int, debug: bool = False):
             tol = (td_ref[0], td_ref[1])
             div = (td_ref[2], td_ref[3])
 
-            # r = b - A x ; beta = ||r||
-            r = df_sub(b, _matvec(x, imask, bmask, fmask))
+            # r = P(b - A x) ; beta = ||r||
+            r = P(df_sub(b, _matvec(x, imask, bmask, fmask)))
             beta = _df_sqrt(_tree_dot(r, r))
             nz = beta[0] > 0.0
             inv = _df_div((1.0, 0.0), beta)
@@ -563,7 +686,7 @@ def _build_cycle(op, m: int, debug: bool = False):
                 @pl.when(ok)
                 def _():
                     vj = (Vh_ref[j], Vl_ref[j])
-                    w = _matvec(vj, imask, bmask, fmask)
+                    w = P(_matvec(vj, imask, bmask, fmask))
                     # classical Gram-Schmidt, batched over the whole basis:
                     # zero rows beyond j contribute exactly nothing, and
                     # the projections accumulate through pairwise df trees
@@ -774,6 +897,8 @@ def _build_cycle(op, m: int, debug: bool = False):
     bmask_a = jnp.asarray(geo.bmask)
     fmask_a = jnp.asarray(geo.fmask)
 
+    pc_inputs = tuple(ilu_consts) if pc_type == "ilu" else ()
+
     def solve_call(xh, xl, bh, bl, its, rtol2, atol2, dtol2, max_it):
         out_shape = (
             jax.ShapeDtypeStruct((Rp, Wp), jnp.float32),
@@ -807,7 +932,7 @@ def _build_cycle(op, m: int, debug: bool = False):
         return pl.pallas_call(
             kernel,
             out_shape=out_shape,
-            in_specs=[vm, vm, vm, vm, vm, vm, vm, sm, sm, sm, sm, sm],
+            in_specs=[vm] * (7 + n_pc_in) + [sm, sm, sm, sm, sm],
             out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((mS, Rp, Wp), jnp.float32),
@@ -828,7 +953,7 @@ def _build_cycle(op, m: int, debug: bool = False):
                 else None
             ),
         )(
-            xh, xl, bh, bl, imask_a, bmask_a, fmask_a,
+            xh, xl, bh, bl, imask_a, bmask_a, fmask_a, *pc_inputs,
             jnp.reshape(its, (1,)).astype(jnp.int32),
             rtol2, atol2, dtol2,
             jnp.asarray([max_it], jnp.int32),
@@ -854,6 +979,7 @@ def fused_gmres_df(
     max_it: int = 10000,
     restart: int = 30,
     dtol: float = DEFAULT_DTOL,
+    pc_type: str = "none",
 ) -> KrylovResult:
     """Drop-in replacement for unpreconditioned
     ``gmres_df(op.stacked_matvec_df(), ...)`` running the ENTIRE solve —
@@ -865,7 +991,7 @@ def fused_gmres_df(
     step costs ~0.6-7 ms of sequencing overhead while in-kernel loop
     iterations are nearly free (measured: an empty 30-iteration in-kernel
     body times identically to the full GMRES body)."""
-    solve_call, geo = _build_cycle(op, int(restart))
+    solve_call, geo = _build_cycle(op, int(restart), pc_type=pc_type)
 
     xh = geo.pack(x0_df[0])
     xl = geo.pack(x0_df[1])

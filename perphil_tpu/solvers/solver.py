@@ -820,11 +820,19 @@ def _build_linear_solver_df(
     bdry = jnp.asarray(op._mask_arrays[0])
     with_guess = bool(flat.get("_x0_continuation", False))
 
-    if pc_df is None and fused_gmres_supported(op):
-        # small-problem fast path: each restart cycle is ONE Pallas kernel
-        # (launch-overhead-bound at these sizes; see ops/pallas_gmres)
+    pc_type = str(flat.get("pc_type", "none"))
+    fused_pc = (
+        "none"
+        if pc_df is None
+        else ("ilu" if pc_type == "ilu" and not flat.get("pc_factor_levels") else None)
+    )
+    if fused_pc is not None and fused_gmres_supported(op):
+        # small-problem fast path: the WHOLE solve is ONE Pallas kernel
+        # (XLA-sequencing-bound at these sizes; see ops/pallas_gmres)
         def _gmres(b, x0, **kw):
-            return fused_gmres_df(op, b, x0_df=x0, restart=restart, **kw)
+            return fused_gmres_df(
+                op, b, x0_df=x0, restart=restart, pc_type=fused_pc, **kw
+            )
     else:
         def _gmres(b, x0, **kw):
             return gmres_df(

@@ -115,6 +115,35 @@ def test_fused_solve_matches_gmres_df():
     assert dx <= 5e-9 * float(df_norm(ref.x))
 
 
+def test_fused_ilu_gmres_matches_golden_and_xla():
+    """Fused left-ILU(0)-preconditioned GMRES: reproduces the golden
+    PETSc iteration count (5 at 2D N=4, reference convergence.csv) and the
+    XLA ILU path's solution."""
+    from perphil_tpu.ops.krylov import gmres_df
+    from perphil_tpu.ops.pallas_gmres import fused_gmres_df
+    from perphil_tpu.solvers.solver import _monolithic_pc_df
+
+    op, b, x0 = _setup(4)
+    mv = op.stacked_matvec_df()
+    pc_df = _monolithic_pc_df(op, {"pc_type": "ilu"})
+    opts = eft_safe_compiler_options()
+    kw = dict(rtol=1e-8, atol=1e-12, max_it=100, restart=30)
+    ref = (
+        jax.jit(lambda: gmres_df(mv, b, x0_df=x0, M_inv_df=pc_df, **kw))
+        .lower()
+        .compile(compiler_options=opts)
+    )()
+    fus = (
+        jax.jit(lambda: fused_gmres_df(op, b, x0, pc_type="ilu", **kw))
+        .lower()
+        .compile(compiler_options=opts)
+    )()
+    assert int(fus.iterations) == int(ref.iterations) == 5  # golden count
+    assert bool(fus.converged)
+    dx = float(df_norm(df_vec_sub(ref.x, fus.x)))
+    assert dx <= 1e-8 * float(df_norm(ref.x))
+
+
 def test_fused_gmres_supported_gating(monkeypatch):
     from perphil_tpu.ops import pallas_gmres
 
