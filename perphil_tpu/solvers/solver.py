@@ -653,7 +653,15 @@ def _monolithic_direct(op: DPPOperator) -> Callable:
             return MixedPrecisionDPPDirect(mesh, op.params, padding=op.padding).solve
         return FastDiagDPPSolver(mesh, op.params).solve
     # simplicial: machine-tolerance PCG (monolithic matrix is SPD) with a
-    # block-diagonal lumped fast-diag preconditioner.
+    # block-diagonal lumped fast-diag preconditioner; fully fused into one
+    # Pallas kernel on small meshes
+    from perphil_tpu.ops.pallas_direct import (
+        fused_simplicial_direct_solve,
+        fused_simplicial_direct_supported,
+    )
+
+    if fused_simplicial_direct_supported(op):
+        return fused_simplicial_direct_solve(op, rtol=_DIRECT_RTOL, max_it=2000)
     p = op.params
     pc1 = FastDiagFieldSolver(mesh, p.k1, p.beta, p.mu, lumped=True)
     pc2 = FastDiagFieldSolver(mesh, p.k2, p.beta, p.mu, lumped=True)

@@ -67,6 +67,54 @@ def test_fused_direct_matches_mixed_path(dim, N, monkeypatch):
     assert res <= 1e-11 * bn
 
 
+@pytest.mark.parametrize("dim,N", [(2, 6), (3, 3)])
+def test_fused_simplicial_pcg_matches_xla(dim, N, monkeypatch):
+    """Simplicial MUMPS role: one-kernel double-float PCG with the lumped
+    fast-diag block preconditioner == the XLA PCG path."""
+    monkeypatch.setenv("PERPHIL_TPU_FUSED_DIRECT", "force")
+    from perphil_tpu.ops.pallas_direct import (
+        fused_simplicial_direct_solve,
+        fused_simplicial_direct_supported,
+    )
+
+    params = DPPParameters()
+    if dim == 2:
+        from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+        mesh = create_mesh(N, N, quadrilateral=False)
+        _, p1e, _, p2e = exact_expressions(mesh, params)
+    else:
+        from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+
+        mesh = create_cube_mesh(N, N, N, hexahedral=False)
+        _, p1e, _, p2e = exact_expressions_3d(mesh, params)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    op = DPPOperator(W, params)
+    assert fused_simplicial_direct_supported(op)
+    g1 = jnp.asarray(DirichletBC(W.sub(0), p1e).grid_values(mesh))
+    g2 = jnp.asarray(DirichletBC(W.sub(1), p2e).grid_values(mesh))
+    b1, b2 = op.lifted_rhs(g1, g2)
+    solve = fused_simplicial_direct_solve(op)
+    fn = (
+        jax.jit(lambda: solve(b1, b2))
+        .lower()
+        .compile(compiler_options=eft_safe_compiler_options())
+    )
+    z1, z2 = fn()
+    mv = op.stacked_matvec()
+    res = float(jnp.linalg.norm(jnp.stack([b1, b2]) - mv(jnp.stack([z1, z2]))))
+    bn = float(jnp.linalg.norm(jnp.stack([b1, b2])))
+    assert res <= 1e-11 * bn
+
+    monkeypatch.setenv("PERPHIL_TPU_FUSED_DIRECT", "0")
+    from perphil_tpu.solvers.solver import _monolithic_direct
+
+    z1r, z2r = _monolithic_direct(op)(b1, b2)
+    scale = float(jnp.max(jnp.abs(z1r)))
+    assert float(jnp.max(jnp.abs(z1 - z1r))) <= 1e-10 * scale
+
+
 def test_fused_direct_gating(monkeypatch):
     from perphil_tpu.ops import pallas_direct
 

@@ -115,6 +115,48 @@ def test_fused_solve_matches_gmres_df():
     assert dx <= 5e-9 * float(df_norm(ref.x))
 
 
+def test_fused_solve_matches_gmres_df_3d_tet():
+    """3D tetrahedral path of the fused kernel (z-plane-stacked packing,
+    27-point stencils) against the XLA gmres_df."""
+    from perphil_tpu.mesh import create_cube_mesh
+    from perphil_tpu.ops.krylov import gmres_df
+    from perphil_tpu.ops.pallas_gmres import fused_gmres_df
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+
+    params = DPPParameters()
+    mesh = create_cube_mesh(3, 3, 3, hexahedral=False)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    _, p1e, _, p2e = exact_expressions_3d(mesh, params)
+    op = DPPOperator(W, params)
+    g1 = jnp.asarray(DirichletBC(W.sub(0), p1e).grid_values(mesh))
+    g2 = jnp.asarray(DirichletBC(W.sub(1), p2e).grid_values(mesh))
+    b1, b2 = op.lifted_rhs_df(df_from_f64(g1), df_from_f64(g2))
+    b = (jnp.stack([b1[0], b2[0]]), jnp.stack([b1[1], b2[1]]))
+    bdry = jnp.asarray(op._mask_arrays[0])
+    g1d, g2d = df_from_f64(g1), df_from_f64(g2)
+    x01 = (jnp.where(bdry, g1d[0], 0.0), jnp.where(bdry, g1d[1], 0.0))
+    x02 = (jnp.where(bdry, g2d[0], 0.0), jnp.where(bdry, g2d[1], 0.0))
+    x0 = (jnp.stack([x01[0], x02[0]]), jnp.stack([x01[1], x02[1]]))
+    mv = op.stacked_matvec_df()
+    opts = eft_safe_compiler_options()
+    kw = dict(rtol=1e-8, atol=1e-12, max_it=100, restart=5)
+    ref = (
+        jax.jit(lambda: gmres_df(mv, b, x0_df=x0, **kw))
+        .lower()
+        .compile(compiler_options=opts)
+    )()
+    fus = (
+        jax.jit(lambda: fused_gmres_df(op, b, x0, **kw))
+        .lower()
+        .compile(compiler_options=opts)
+    )()
+    assert int(fus.iterations) == int(ref.iterations)
+    assert bool(fus.converged)
+    dx = float(df_norm(df_vec_sub(ref.x, fus.x)))
+    assert dx <= 1e-8 * float(df_norm(ref.x))
+
+
 def test_fused_ilu_gmres_matches_golden_and_xla():
     """Fused left-ILU(0)-preconditioned GMRES: reproduces the golden
     PETSc iteration count (5 at 2D N=4, reference convergence.csv) and the
