@@ -829,11 +829,30 @@ def _build_linear_solver_df(
     with_guess = bool(flat.get("_x0_continuation", False))
 
     pc_type = str(flat.get("pc_type", "none"))
-    fused_pc = (
-        "none"
-        if pc_df is None
-        else ("ilu" if pc_type == "ilu" and not flat.get("pc_factor_levels") else None)
-    )
+    if pc_df is None:
+        fused_pc = "none"
+    elif pc_type == "ilu" and not flat.get("pc_factor_levels"):
+        fused_pc = "ilu"
+    elif (
+        pc_type == "fieldsplit"
+        and str(flat.get("pc_fieldsplit_type", "multiplicative")) == "multiplicative"
+        and str(flat.get("fieldsplit_0_ksp_type", "preonly")) == "gmres"
+        and str(flat.get("fieldsplit_0_pc_type", "ilu")) == "ilu"
+        and str(flat.get("fieldsplit_1_ksp_type", "preonly")) == "gmres"
+        and str(flat.get("fieldsplit_1_pc_type", "ilu")) == "ilu"
+        # the fused kernel bakes the preset inner tolerances in
+        and all(
+            float(flat.get(f"fieldsplit_{i}_ksp_{k}", d)) == d
+            for i in (0, 1)
+            for k, d in (("rtol", 1e-8), ("atol", 1e-12))
+        )
+    ):
+        # SS-GMRES+ILU: inner blocks fused as tolerance-matched ILU-PCG
+        # (outer 4-iteration signature verified invariant to the inner
+        # Krylov method; see ops/pallas_gmres)
+        fused_pc = "fieldsplit_ilu"
+    else:
+        fused_pc = None
     if fused_pc is not None and fused_gmres_supported(op):
         # small-problem fast path: the WHOLE solve is ONE Pallas kernel
         # (XLA-sequencing-bound at these sizes; see ops/pallas_gmres)

@@ -186,6 +186,125 @@ def test_fused_ilu_gmres_matches_golden_and_xla():
     assert dx <= 1e-8 * float(df_norm(ref.x))
 
 
+def test_fieldsplit_ilu_pc_components_reproduce_outer_signature():
+    """The packed fieldsplit-ILU-PCG preconditioner — the exact component
+    functions the fused kernel traces (field-block matvec, per-field ILU
+    planes, coupling, inner df PCG) — reproduces the golden 4-iteration
+    outer fieldsplit signature when driven by the XLA gmres_df. (The fully
+    fused kernel itself is validated on hardware: its nested in-kernel
+    loops are impractically slow under Pallas interpret mode on CPU.)"""
+    from jax import lax
+
+    from perphil_tpu.ops.df32 import df_add, df_sub
+    from perphil_tpu.ops.krylov import gmres_df
+    from perphil_tpu.ops.pallas_gmres import (
+        _df_div,
+        _df_gt,
+        _df_mask,
+        _df_mul,
+        _df_scale,
+        _df_sqrt,
+        _geometry,
+        _split_const,
+        build_packed_coupling,
+        build_packed_field_ilu,
+        build_packed_matvec,
+        make_ilu_apply,
+        two_prod,
+    )
+
+    op, b, x0 = _setup(8)
+    geo = _geometry(op)
+    Rp, Wp = geo.Rp, geo.Wp
+    (co, lvm, dgp), ilu_meta = build_packed_field_ilu(geo, op)
+    ilu_apply = make_ilu_apply(ilu_meta)
+    field_mv = build_packed_matvec(geo, op, coupling=False)
+    coupling = build_packed_coupling(geo, op)
+    imask = jnp.asarray(geo.imask)
+    bmask = jnp.asarray(geo.bmask)
+    fmask = jnp.asarray(geo.fmask)
+
+    def tdot(u, v):
+        ph, pe = two_prod(u[0], v[0])
+        pe = pe + u[0] * v[1] + u[1] * v[0]
+        s = (ph, pe)
+        R = Rp
+        while R > 1:
+            h = R // 2
+            s = df_add((s[0][:h], s[1][:h]), (s[0][h:R], s[1][h:R]))
+            R = h
+        C = Wp
+        while C > 1:
+            h = C // 2
+            s = df_add(
+                (s[0][:, :h], s[1][:, :h]), (s[0][:, h:C], s[1][:, h:C])
+            )
+            C = h
+        return s[0][0, 0], s[1][0, 0]
+
+    def inner_pc(v):
+        z = ilu_apply(v[0] + v[1], co, lvm, dgp)
+        return (z, jnp.zeros_like(z))
+
+    def inner_pcg(rhs):
+        rn0 = _df_sqrt(tdot(rhs, rhs))
+        rt = _split_const(1e-8)
+        at = _split_const(1e-12)
+        t_rel = _df_mul(rn0, rt)
+        use_rel = _df_gt(t_rel, at)
+        tol = (
+            jnp.where(use_rel, t_rel[0], at[0]),
+            jnp.where(use_rel, t_rel[1], at[1]),
+        )
+        z0 = inner_pc(rhs)
+        rz0 = tdot(z0, rhs)
+        zero = jnp.zeros((Rp, Wp), jnp.float32)
+        done0 = jnp.where(_df_gt(rn0, tol), jnp.int32(0), jnp.int32(1))
+
+        def body(c):
+            xh, xl, rh, rl, ph, pl_, rzh, rzl, its, _d = c
+            x, r, p, rz = (xh, xl), (rh, rl), (ph, pl_), (rzh, rzl)
+            Ap = field_mv(p, imask, bmask, fmask)
+            alpha = _df_div(rz, tdot(p, Ap))
+            x = df_add(x, _df_scale(p, alpha))
+            r = df_add(r, _df_scale(Ap, (-alpha[0], -alpha[1])))
+            z = inner_pc(r)
+            rz_new = tdot(z, r)
+            beta = _df_div(rz_new, rz)
+            p = df_add(z, _df_scale(p, beta))
+            rn = _df_sqrt(tdot(r, r))
+            done = jnp.logical_not(_df_gt(rn, tol))
+            return (
+                x[0], x[1], r[0], r[1], p[0], p[1], rz_new[0], rz_new[1],
+                its + 1, jnp.where(done, jnp.int32(1), jnp.int32(0)),
+            )
+
+        out = lax.while_loop(
+            lambda c: (c[-1] == 0) & (c[-2] < 50000),
+            body,
+            (zero, zero, rhs[0], rhs[1], z0[0], z0[1], rz0[0], rz0[1],
+             jnp.int32(0), done0),
+        )
+        return (out[0], out[1])
+
+    def pc_df(r):
+        rp = (geo.pack(r[0]), geo.pack(r[1]))
+        y1 = inner_pcg(_df_mask(rp, fmask))
+        r2 = df_sub(_df_mask(rp, 1.0 - fmask), coupling(y1, imask))
+        zp = df_add(y1, inner_pcg(r2))
+        return (geo.unpack(zp[0]), geo.unpack(zp[1]))
+
+    mv = op.stacked_matvec_df()
+    kw = dict(rtol=1e-8, atol=1e-12, max_it=50000, restart=30)
+    got = (
+        jax.jit(lambda: gmres_df(mv, b, x0_df=x0, M_inv_df=pc_df, **kw))
+        .lower()
+        .compile(compiler_options=eft_safe_compiler_options())
+    )()
+    assert int(got.iterations) == 4
+    assert bool(got.converged)
+
+
 def test_fused_gmres_supported_gating(monkeypatch):
     from perphil_tpu.ops import pallas_gmres
 
