@@ -579,11 +579,33 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
         ilu_apply = make_ilu_apply(ilu_meta)
         _field_mv = build_packed_matvec(geo, op, coupling=False)
         _coupling = build_packed_coupling(geo, op)
+    elif pc_type == "jacobi":
+        # numpy diagonal from the BC-eliminated structured system (the
+        # builder runs at trace time, so op.diagonal() may be a tracer)
+        from perphil_tpu.ops.ilu import build_monolithic_system
+
+        msys = build_monolithic_system(op.mesh, op.params)
+        dvals = np.asarray(msys.vals[:, msys.center_index], np.float64)
+        n = msys.n_nodes
+        shape = tuple(op.mesh.node_shape)
+        node_idx = np.arange(n)
+        multi = np.stack(np.unravel_index(node_idx, shape), axis=1)
+        if geo.dim == 2:
+            zz = np.zeros(n, np.int64)
+            yy, xx = multi[:, 0], multi[:, 1]
+        else:
+            zz, yy, xx = multi[:, 0], multi[:, 1], multi[:, 2]
+        dinv = np.zeros((geo.Rp, geo.Wp), np.float32)
+        for f in range(2):
+            pr = f * geo.Fr + zz * geo.hrow + 1 + yy
+            dinv[pr, 1 + xx] = (1.0 / dvals[f * n : (f + 1) * n]).astype(np.float32)
+        ilu_consts = (jnp.asarray(dinv),)
     elif pc_type != "none":
         raise ValueError(
-            f"fused GMRES supports pc none/ilu/fieldsplit_ilu, got {pc_type!r}"
+            f"fused GMRES supports pc none/jacobi/ilu/fieldsplit_ilu, "
+            f"got {pc_type!r}"
         )
-    n_pc_in = 3 if pc_type in ("ilu", "fieldsplit_ilu") else 0
+    n_pc_in = {"ilu": 3, "fieldsplit_ilu": 3, "jacobi": 1}.get(pc_type, 0)
 
     def _tree_reduce(terms):
         """Pairwise df-add reduction of a Python list of df pairs (mirrors
@@ -694,6 +716,12 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
             def P(v):
                 z = ilu_apply(v[0] + v[1], co, lvm, dgp)
                 return (z, jnp.zeros_like(z))
+        elif pc_type == "jacobi":
+            dinv_p = pc_refs[0][:]
+
+            def P(v):
+                # mirrors _monolithic_pc_df: f32 diagonal scale per df half
+                return (dinv_p * v[0], dinv_p * v[1])
         elif pc_type == "fieldsplit_ilu":
             co = pc_refs[0][:]
             lvm = pc_refs[1][:]

@@ -833,6 +833,8 @@ def _build_linear_solver_df(
         fused_pc = "none"
     elif pc_type == "ilu" and not flat.get("pc_factor_levels"):
         fused_pc = "ilu"
+    elif pc_type == "jacobi":
+        fused_pc = "jacobi"
     elif (
         pc_type == "fieldsplit"
         and str(flat.get("pc_fieldsplit_type", "multiplicative")) == "multiplicative"
