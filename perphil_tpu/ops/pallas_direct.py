@@ -25,7 +25,6 @@ host once per (mesh, params) and baked into the kernel as constants.
 from __future__ import annotations
 
 import os
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -289,12 +288,7 @@ def _build_simplicial_pcg(op, rtol: float, max_it: int):
     ``ops/krylov.cg_df``) on the packed layout, preconditioned by per-field
     lumped-tensor fast-diag interior solves + identity boundary rows."""
     from perphil_tpu.ops.direct import FastDiagFieldSolver
-    from perphil_tpu.ops.pallas_gmres import (
-        _df_div,
-        _df_gt,
-        _df_sqrt,
-        _fori,
-    )
+    from perphil_tpu.ops.pallas_gmres import _df_div, _df_gt, _df_sqrt
     from perphil_tpu.ops.df32 import df_add as _dfadd
 
     geo = _geometry(op)
