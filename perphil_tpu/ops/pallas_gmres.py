@@ -345,6 +345,89 @@ def build_packed_field_ilu(geo, op):
     return consts, meta
 
 
+def build_packed_field_fastdiag(geo, op):
+    """Per-field fast-diagonalization preconditioner on the packed layout
+    (the fieldsplit "exact LU" block role): interior tensor solves with the
+    consistent 1D eigenbasis on quad/hex meshes, the lumped proxy on
+    simplicial ones (where it preconditions an inner CG to 1e-13, mirroring
+    ``solvers/solver._monolithic_direct``'s PCG substitution). Returns
+    ``(consts, apply)`` with ``consts`` as kernel inputs and
+    ``apply(v, consts) -> (Rp, Wp)`` (identity on boundary rows)."""
+    from perphil_tpu.ops.direct import FastDiagFieldSolver
+
+    p = op.params
+    lumped = not getattr(op.mesh, "is_tensor_product", False)
+    fs = [
+        FastDiagFieldSolver(op.mesh, float(p.k1), float(p.beta), float(p.mu), lumped=lumped),
+        FastDiagFieldSolver(op.mesh, float(p.k2), float(p.beta), float(p.mu), lumped=lumped),
+    ]
+    eig = fs[0]._eig  # 1D eigenpairs are field-independent
+    dim = geo.dim
+    inner = tuple(n - 2 for n in op.mesh.node_shape)
+    if dim == 2:
+        iy, ix = inner
+        iz = 1
+        zplanes = [0]
+    else:
+        iz, iy, ix = inner
+        zplanes = list(range(1, geo.planes - 1))
+    Sx = np.asarray(eig[0][0], np.float32)
+    Sy = np.asarray(eig[1][0], np.float32)
+    Sz = np.asarray(eig[2][0], np.float32) if dim == 3 else None
+    sc1 = np.asarray(fs[0]._mode_scale, np.float32).reshape((iz, iy, ix))
+    sc2 = np.asarray(fs[1]._mode_scale, np.float32).reshape((iz, iy, ix))
+    consts = (
+        jnp.asarray(Sx), jnp.asarray(Sx.T.copy()),
+        jnp.asarray(Sy), jnp.asarray(Sy.T.copy()),
+        jnp.asarray(sc1), jnp.asarray(sc2),
+    )
+    Rp, Wp = geo.Rp, geo.Wp
+    hi = jax.lax.Precision.HIGHEST
+
+    def _zcomb(blocks, transpose):
+        if dim == 2:
+            return blocks
+        out = []
+        for q in range(iz):
+            w = (lambda pq: Sz[pq, q]) if transpose else (lambda pq: Sz[q, pq])
+            acc = blocks[0] * np.float32(w(0))
+            for pq in range(1, iz):
+                acc = acc + blocks[pq] * np.float32(w(pq))
+            out.append(acc)
+        return out
+
+    def apply(v, mats, bmask):
+        Sx_c, SxT_c, Sy_c, SyT_c, S1g, S2g = mats
+        out = v * bmask  # identity boundary rows
+        for f, Sg in ((0, S1g), (1, S2g)):
+            t = [
+                jnp.dot(
+                    jnp.dot(
+                        SyT_c,
+                        v[geo._base_row(f, q) + 1 : geo._base_row(f, q) + 1 + iy, 2 : 2 + ix],
+                        precision=hi,
+                    ),
+                    Sx_c,
+                    precision=hi,
+                )
+                for q in zplanes
+            ]
+            t = _zcomb(t, transpose=True)
+            t = [t[q] / Sg[q] for q in range(iz)]
+            t = _zcomb(t, transpose=False)
+            t = [
+                jnp.dot(jnp.dot(Sy_c, b, precision=hi), SxT_c, precision=hi)
+                for b in t
+            ]
+            for i, q in enumerate(zplanes):
+                out = jax.lax.dynamic_update_slice(
+                    out, t[i], (geo._base_row(f, q) + 1, 2)
+                )
+        return out
+
+    return consts, apply
+
+
 def build_packed_coupling(geo, op):
     """In-kernel off-diagonal block apply C: (field0-supported df) ->
     (field1 rows): interior-masked ``-(beta/mu) M z`` (mirrors
@@ -579,6 +662,10 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
         ilu_apply = make_ilu_apply(ilu_meta)
         _field_mv = build_packed_matvec(geo, op, coupling=False)
         _coupling = build_packed_coupling(geo, op)
+    elif pc_type == "fieldsplit_lu":
+        ilu_consts, _fd_apply = build_packed_field_fastdiag(geo, op)
+        _field_mv = build_packed_matvec(geo, op, coupling=False)
+        _coupling = build_packed_coupling(geo, op)
     elif pc_type == "jacobi":
         # numpy diagonal from the BC-eliminated structured system (the
         # builder runs at trace time, so op.diagonal() may be a tracer)
@@ -605,7 +692,9 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
             f"fused GMRES supports pc none/jacobi/ilu/fieldsplit_ilu, "
             f"got {pc_type!r}"
         )
-    n_pc_in = {"ilu": 3, "fieldsplit_ilu": 3, "jacobi": 1}.get(pc_type, 0)
+    n_pc_in = {
+        "ilu": 3, "fieldsplit_ilu": 3, "jacobi": 1, "fieldsplit_lu": 6
+    }.get(pc_type, 0)
 
     def _tree_reduce(terms):
         """Pairwise df-add reduction of a Python list of df pairs (mirrors
@@ -722,14 +811,29 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
             def P(v):
                 # mirrors _monolithic_pc_df: f32 diagonal scale per df half
                 return (dinv_p * v[0], dinv_p * v[1])
-        elif pc_type == "fieldsplit_ilu":
-            co = pc_refs[0][:]
-            lvm = pc_refs[1][:]
-            dgp = pc_refs[2][:]
+        elif pc_type in ("fieldsplit_ilu", "fieldsplit_lu"):
+            if pc_type == "fieldsplit_ilu":
+                co = pc_refs[0][:]
+                lvm = pc_refs[1][:]
+                dgp = pc_refs[2][:]
 
-            def _inner_pc(v):
-                z = ilu_apply(v[0] + v[1], co, lvm, dgp)
-                return (z, jnp.zeros_like(z))
+                def _inner_pc(v):
+                    z = ilu_apply(v[0] + v[1], co, lvm, dgp)
+                    return (z, jnp.zeros_like(z))
+
+                _inner_rtol, _inner_atol, _inner_max = 1e-8, 1e-12, 50000
+            else:
+                fd_mats = tuple(ref[:] for ref in pc_refs)
+
+                def _inner_pc(v):
+                    z = _fd_apply(v[0] + v[1], fd_mats, bmask)
+                    return (z, jnp.zeros_like(z))
+
+                # the fieldsplit-LU role: machine-tolerance inner solves
+                # (exact fast-diag PC -> CG converges in O(1) iterations on
+                # tensor meshes; the lumped proxy drives it on simplicial
+                # ones, mirroring _monolithic_direct's PCG substitution)
+                _inner_rtol, _inner_atol, _inner_max = 1e-13, 0.0, 1000
 
             def _inner_pcg(rhs):
                 """Inner block solve: double-float ILU(0)-preconditioned CG
@@ -740,8 +844,8 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
                 identical outer counts at 2D N=16/32 with inner CG vs
                 inner GMRES), and CG needs no basis storage in-kernel."""
                 rn0 = _df_sqrt(_tree_dot(rhs, rhs))
-                rt_hi, rt_lo = _split_const(1e-8)
-                at_hi, at_lo = _split_const(1e-12)
+                rt_hi, rt_lo = _split_const(_inner_rtol)
+                at_hi, at_lo = _split_const(_inner_atol)
                 t_rel = _df_mul(rn0, (rt_hi, rt_lo))
                 use_rel = _df_gt(t_rel, (at_hi, at_lo))
                 tol = (
@@ -782,7 +886,7 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
                     )
 
                 out = lax.while_loop(
-                    lambda c: (c[-1] == 0) & (c[-2] < 50000),
+                    lambda c: (c[-1] == 0) & (c[-2] < _inner_max),
                     body,
                     (
                         zero2[0], zero2[1], rhs[0], rhs[1], z0[0], z0[1],

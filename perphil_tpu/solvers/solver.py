@@ -853,6 +853,17 @@ def _build_linear_solver_df(
         # (outer 4-iteration signature verified invariant to the inner
         # Krylov method; see ops/pallas_gmres)
         fused_pc = "fieldsplit_ilu"
+    elif (
+        pc_type == "fieldsplit"
+        and str(flat.get("pc_fieldsplit_type", "multiplicative")) == "multiplicative"
+        and str(flat.get("fieldsplit_0_ksp_type", "preonly")) == "preonly"
+        and str(flat.get("fieldsplit_0_pc_type", "lu")) in ("lu", "cholesky")
+        and str(flat.get("fieldsplit_1_ksp_type", "preonly")) == "preonly"
+        and str(flat.get("fieldsplit_1_pc_type", "lu")) in ("lu", "cholesky")
+    ):
+        # SS-GMRES (fieldsplit-LU): inner exact block solves as
+        # machine-tolerance fast-diag-preconditioned CG in-kernel
+        fused_pc = "fieldsplit_lu"
     else:
         fused_pc = None
     if fused_pc is not None and fused_gmres_supported(op):

@@ -186,13 +186,14 @@ def test_fused_ilu_gmres_matches_golden_and_xla():
     assert dx <= 1e-8 * float(df_norm(ref.x))
 
 
-def test_fieldsplit_ilu_pc_components_reproduce_outer_signature():
-    """The packed fieldsplit-ILU-PCG preconditioner — the exact component
+@pytest.mark.parametrize("block_role", ["ilu", "lu"])
+def test_fieldsplit_pc_components_reproduce_outer_signature(block_role):
+    """The packed fieldsplit preconditioners — the exact component
     functions the fused kernel traces (field-block matvec, per-field ILU
-    planes, coupling, inner df PCG) — reproduces the golden 4-iteration
-    outer fieldsplit signature when driven by the XLA gmres_df. (The fully
-    fused kernel itself is validated on hardware: its nested in-kernel
-    loops are impractically slow under Pallas interpret mode on CPU.)"""
+    planes or fast-diag PC, coupling, inner df PCG) — reproduce the golden
+    4-iteration outer fieldsplit signature when driven by the XLA gmres_df.
+    (The fully fused kernels are validated on hardware: their nested
+    in-kernel loops are impractically slow under Pallas interpret mode.)"""
     from jax import lax
 
     from perphil_tpu.ops.df32 import df_add, df_sub
@@ -207,6 +208,7 @@ def test_fieldsplit_ilu_pc_components_reproduce_outer_signature():
         _geometry,
         _split_const,
         build_packed_coupling,
+        build_packed_field_fastdiag,
         build_packed_field_ilu,
         build_packed_matvec,
         make_ilu_apply,
@@ -216,8 +218,14 @@ def test_fieldsplit_ilu_pc_components_reproduce_outer_signature():
     op, b, x0 = _setup(8)
     geo = _geometry(op)
     Rp, Wp = geo.Rp, geo.Wp
-    (co, lvm, dgp), ilu_meta = build_packed_field_ilu(geo, op)
-    ilu_apply = make_ilu_apply(ilu_meta)
+    bmask_a = jnp.asarray(geo.bmask)
+    if block_role == "ilu":
+        (co, lvm, dgp), ilu_meta = build_packed_field_ilu(geo, op)
+        ilu_apply = make_ilu_apply(ilu_meta)
+        inner_rtol, inner_atol, inner_max = 1e-8, 1e-12, 50000
+    else:
+        fd_consts, fd_apply = build_packed_field_fastdiag(geo, op)
+        inner_rtol, inner_atol, inner_max = 1e-13, 0.0, 1000
     field_mv = build_packed_matvec(geo, op, coupling=False)
     coupling = build_packed_coupling(geo, op)
     imask = jnp.asarray(geo.imask)
@@ -243,13 +251,16 @@ def test_fieldsplit_ilu_pc_components_reproduce_outer_signature():
         return s[0][0, 0], s[1][0, 0]
 
     def inner_pc(v):
-        z = ilu_apply(v[0] + v[1], co, lvm, dgp)
+        if block_role == "ilu":
+            z = ilu_apply(v[0] + v[1], co, lvm, dgp)
+        else:
+            z = fd_apply(v[0] + v[1], fd_consts, bmask_a)
         return (z, jnp.zeros_like(z))
 
     def inner_pcg(rhs):
         rn0 = _df_sqrt(tdot(rhs, rhs))
-        rt = _split_const(1e-8)
-        at = _split_const(1e-12)
+        rt = _split_const(inner_rtol)
+        at = _split_const(inner_atol)
         t_rel = _df_mul(rn0, rt)
         use_rel = _df_gt(t_rel, at)
         tol = (
@@ -280,7 +291,7 @@ def test_fieldsplit_ilu_pc_components_reproduce_outer_signature():
             )
 
         out = lax.while_loop(
-            lambda c: (c[-1] == 0) & (c[-2] < 50000),
+            lambda c: (c[-1] == 0) & (c[-2] < inner_max),
             body,
             (zero, zero, rhs[0], rhs[1], z0[0], z0[1], rz0[0], rz0[1],
              jnp.int32(0), done0),
