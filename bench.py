@@ -33,6 +33,37 @@ BASELINE_MUMPS_3D_NX40_SECONDS = 18.56  # largest published 3D direct solve
 K_TIMED = 20
 
 
+def _watchdog(seconds: float, stage: str):
+    """Hard-exit if the stage hangs — the axon tunnel can go unresponsive
+    for an hour+ (CLAUDE.md), and a benchmark that never returns is worse
+    than one that reports the outage. Returns a cancel() handle."""
+    import os
+    import sys
+    import threading
+
+    def _fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "3d_dpp_assemble_plus_direct_solve_64cube_hex",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": f"TPU unresponsive during {stage} "
+                    f"(>{seconds:.0f}s watchdog)",
+                }
+            ),
+            flush=True,
+        )
+        sys.stdout.flush()
+        os._exit(3)
+
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -45,6 +76,12 @@ def main() -> None:
     from perphil_tpu.ops.df32 import df_from_f64, df_to_f64
     from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
     from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+
+    # device-liveness probe under a short watchdog before any heavy work
+    probe_guard = _watchdog(180.0, "liveness probe")
+    jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+    probe_guard.cancel()
+    _watchdog(900.0, "benchmark")  # global cap for the whole run
 
     N = 64
     mesh = create_cube_mesh(N, N, N, hexahedral=True)
