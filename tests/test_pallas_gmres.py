@@ -316,6 +316,29 @@ def test_fieldsplit_pc_components_reproduce_outer_signature(block_role):
     assert bool(got.converged)
 
 
+def test_solver_level_fused_dispatch(monkeypatch):
+    """solve_dpp routes through the fused kernel when forced (the dispatch
+    in _build_linear_solver_df), reproducing the golden plain-GMRES count."""
+    monkeypatch.setenv("PERPHIL_TPU_FUSED_GMRES", "force")
+    monkeypatch.setenv("PERPHIL_TPU_KSP_DTYPE", "df32")
+    from perphil_tpu.experiments.iterative_bench import Approach, params_for
+    from perphil_tpu.solvers import solve_dpp
+    from perphil_tpu.solvers.solver import _build_linear_solver
+
+    _build_linear_solver.cache_clear()  # cached solvers bake in the mode
+    params = DPPParameters()
+    mesh = create_mesh(4, 4)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    sol = solve_dpp(
+        W, params, bcs, solver_parameters=params_for(Approach.PLAIN_GMRES)
+    )
+    assert sol.iteration_number == 10  # golden count (reference N=4)
+    _build_linear_solver.cache_clear()
+
+
 def test_fused_gmres_supported_gating(monkeypatch):
     from perphil_tpu.ops import pallas_gmres
 
