@@ -601,7 +601,7 @@ def _geometry(op) -> _Geometry:
     return _geometry_cached(tuple(op.mesh.node_shape), bdry.tobytes())
 
 
-def fused_gmres_supported(op) -> bool:
+def fused_gmres_supported(op, pc_type: str = "none") -> bool:
     """Whether the operator fits the fused small-problem cycle kernel.
 
     Default-on only on TPU-class backends: on CPU the kernel runs in Pallas
@@ -609,6 +609,9 @@ def fused_gmres_supported(op) -> bool:
     subject to the CPU EFT-contraction hazard — see ``ops/df32``).
     ``PERPHIL_TPU_FUSED_GMRES=force`` opts in anyway (validation tests,
     which must also compile with ``eft_safe_compiler_options()``).
+    ``pc_type`` folds the preconditioner's VMEM tenants (ILU coefficient
+    planes) into the budget so near-limit grids fall back to the XLA path
+    instead of failing the Mosaic scoped-vmem check at dispatch time.
     """
     env = os.environ.get("PERPHIL_TPU_FUSED_GMRES", "1").lower()
     if env in ("0", "false"):
@@ -630,6 +633,11 @@ def fused_gmres_supported(op) -> bool:
         return False
     Rp = _next_pow2(2 * planes * (rows + 2))
     vbytes = 2 * 32 * Rp * _LANES * 4  # hi+lo basis (pow2-padded) dominates VMEM
+    if pc_type in ("ilu", "fieldsplit_ilu"):
+        # per-offset factor coefficient planes (3 block-deltas for the
+        # monolithic ILU, 1 for the per-field fieldsplit blocks)
+        n_offs = (3 ** len(ns)) * (3 if pc_type == "ilu" else 1)
+        vbytes += n_offs * Rp * _LANES * 4
     return vbytes <= _VMEM_BUDGET_BYTES
 
 

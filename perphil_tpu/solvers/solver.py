@@ -866,7 +866,7 @@ def _build_linear_solver_df(
         fused_pc = "fieldsplit_lu"
     else:
         fused_pc = None
-    if fused_pc is not None and fused_gmres_supported(op):
+    if fused_pc is not None and fused_gmres_supported(op, fused_pc):
         # small-problem fast path: the WHOLE solve is ONE Pallas kernel
         # (XLA-sequencing-bound at these sizes; see ops/pallas_gmres)
         def _gmres(b, x0, **kw):
