@@ -32,30 +32,49 @@ import numpy as np
 BASELINE_MUMPS_3D_NX40_SECONDS = 18.56  # largest published 3D direct solve
 K_TIMED = 20
 
+# Outage-resilience policy (VERDICT r2 #1): the axon tunnel's documented
+# outage mode lasts "an hour+"; a single 180 s probe gives up too early.
+# We probe in a SUBPROCESS (a hung probe cannot poison this process's
+# runtime) every PROBE_INTERVAL seconds for up to PROBE_BUDGET seconds
+# before emitting the failure JSON.
+import os as _os
+
+PROBE_TIMEOUT = float(_os.environ.get("BENCH_PROBE_TIMEOUT", 150.0))
+PROBE_INTERVAL = float(_os.environ.get("BENCH_PROBE_INTERVAL", 150.0))
+PROBE_BUDGET = float(_os.environ.get("BENCH_PROBE_BUDGET", 2700.0))
+
+_PROBE_CODE = """
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+jax.block_until_ready(x @ x)
+print("PROBE_OK")
+"""
+
+
+def _emit_failure(stage: str, detail: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "3d_dpp_assemble_plus_direct_solve_64cube_hex",
+                "value": None,
+                "unit": "s",
+                "vs_baseline": None,
+                "error": f"TPU unresponsive during {stage} ({detail})",
+            }
+        ),
+        flush=True,
+    )
+
 
 def _watchdog(seconds: float, stage: str):
     """Hard-exit if the stage hangs — the axon tunnel can go unresponsive
     for an hour+ (CLAUDE.md), and a benchmark that never returns is worse
     than one that reports the outage. Returns a cancel() handle."""
     import os
-    import sys
     import threading
 
     def _fire():
-        print(
-            json.dumps(
-                {
-                    "metric": "3d_dpp_assemble_plus_direct_solve_64cube_hex",
-                    "value": None,
-                    "unit": "s",
-                    "vs_baseline": None,
-                    "error": f"TPU unresponsive during {stage} "
-                    f"(>{seconds:.0f}s watchdog)",
-                }
-            ),
-            flush=True,
-        )
-        sys.stdout.flush()
+        _emit_failure(stage, f">{seconds:.0f}s watchdog")
         os._exit(3)
 
     t = threading.Timer(seconds, _fire)
@@ -64,7 +83,45 @@ def _watchdog(seconds: float, stage: str):
     return t
 
 
+def _wait_for_device() -> bool:
+    """Probe-retry loop: returns True once a subprocess matmul completes,
+    False when PROBE_BUDGET is exhausted."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + PROBE_BUDGET
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_CODE],
+                capture_output=True,
+                text=True,
+                timeout=PROBE_TIMEOUT,
+            )
+            if "PROBE_OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        print(
+            f"# probe {attempt} failed; {remaining:.0f}s of budget left",
+            flush=True,
+        )
+        if remaining <= PROBE_INTERVAL:
+            return False
+        time.sleep(PROBE_INTERVAL)
+
+
 def main() -> None:
+    if not _wait_for_device():
+        _emit_failure(
+            "liveness probe",
+            f"retried for {PROBE_BUDGET:.0f}s at {PROBE_INTERVAL:.0f}s intervals",
+        )
+        raise SystemExit(3)
+
     import jax
     import jax.numpy as jnp
 
@@ -77,8 +134,9 @@ def main() -> None:
     from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
     from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
 
-    # device-liveness probe under a short watchdog before any heavy work
-    probe_guard = _watchdog(180.0, "liveness probe")
+    # the subprocess probe succeeded; warm this process's own connection
+    # under a watchdog (the tunnel can relapse between probe and run)
+    probe_guard = _watchdog(300.0, "in-process warmup")
     jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
     probe_guard.cancel()
     _watchdog(900.0, "benchmark")  # global cap for the whole run
