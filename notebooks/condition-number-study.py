@@ -36,9 +36,13 @@ rows = []
 for N in NS:
     mesh = create_mesh(N, N)
     _, _, W = build_spaces(mesh)
-    # dense SVD below 32 (exactly the reference's method); on-device
-    # inverse-Lanczos above (matches dense to ~1e-8 relative)
-    use_sparse = N >= 32
+    # Full dense SVD at every published size — the reference notebook runs
+    # with num_of_factors=0, i.e. LAPACK dense SVD even at N=64 (reference
+    # condition-number-study.py:42 + conditioning.py:141-155), so Lanczos
+    # here would introduce O(1e-6) estimator noise against an exact number
+    # (it did in round 2: monolithic/macro off by 4.2e-6 at N=64).
+    # Lanczos remains the path for beyond-published sizes (N > 64).
+    use_sparse = N > 64
     conds = estimate_condition_numbers(
         W, num_of_factors=50 if use_sparse else None, use_sparse=use_sparse
     )
