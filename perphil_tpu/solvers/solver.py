@@ -687,6 +687,93 @@ def _monolithic_direct(op: DPPOperator) -> Callable:
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=16)
+def _build_host_parity_ilu_solver(
+    W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
+) -> Callable:
+    """DoF-ordering-faithful GMRES+ILU(0) — the ``pc_factor_mat_ordering_type``
+    analog (PETSc option at reference ``solvers/parameters.py:27`` context:
+    ``pc_type: ilu``).
+
+    Selected with ``{"pc_factor_mat_ordering_type": "rcm"}``: solves in the
+    reference's DMPlex/Firedrake numbering emulation (cell-RCM traversal,
+    finite-element fill pattern — see ``ops/ordering.py::cell_rcm_parity``)
+    instead of the structured lexicographic envelope ILU. The factorization
+    and trisolves in an unstructured row order are inherently sequential, so
+    this runs on the HOST via the native C++ CSR kernels
+    (``csrc/csr_solver.cpp``) — the same division of labor as PETSc, whose
+    ILU/GMRES are host C kernels. Reproduces the published 3D tet counts
+    6/8/15/26/33 at nx=4..40 exactly; the structured envelope ILU (the TPU
+    production default) is a strictly stronger preconditioner with fewer
+    iterations (documented deviation in PARITY.md).
+    """
+    from perphil_tpu.ops import ordering as od
+    from perphil_tpu.ops.ilu import build_monolithic_system
+
+    flat = dict(frozen_sp)
+    mesh = W.mesh
+    rtol = float(flat.get("ksp_rtol", 1e-5))
+    atol = float(flat.get("ksp_atol", 1e-50))
+    max_it = int(flat.get("ksp_max_it", 10000))
+    restart = int(flat.get("ksp_gmres_restart", 30))
+
+    op = DPPOperator(W, params)
+    sysm = build_monolithic_system(mesh, params)
+    A = od.to_csr(sysm)
+    nv = mesh.num_vertices
+    if mesh.is_tensor_product:
+        # quad/hex: every envelope offset couples, so FE pattern == envelope,
+        # and the natural lexicographic order already reproduces the
+        # reference counts (ordering_sensitivity.csv) — identity permutation.
+        perm = np.arange(2 * nv)
+    else:
+        # dropped entries are exact zeros, so Ap serves both as the ILU
+        # pattern (PETSc allocates only the FE adjacency) and as the matvec
+        A = od.tighten_pattern(A, sysm, mesh, params)
+        perm = od.blocked(od.cell_rcm_parity(mesh))
+    Ap = A[perm][:, perm].tocsr()
+    Ap.sort_indices()
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(perm.shape[0])
+    bmask = np.asarray(mesh.boundary_mask()).ravel().astype(bool)
+    shape = op.grid_shape
+
+    def solve_host(g1, g2):
+        b1, b2 = op.lifted_rhs(g1, g2)
+        b = np.concatenate([np.asarray(b1).ravel(), np.asarray(b2).ravel()])
+        g1v = np.asarray(g1).ravel()
+        g2v = np.asarray(g2).ravel()
+        x0 = np.concatenate(
+            [np.where(bmask, g1v, 0.0), np.where(bmask, g2v, 0.0)]
+        ).astype(np.float64)
+        # Newton-step system A d = b - A x0 (x0 = BC lift), like the jitted
+        # paths: the KSP convergence denominator is the interior-scale ||r0||
+        r0p = (b - A @ x0)[perm]
+        res = od.native_ilu_gmres(
+            Ap, r0p, rtol=rtol, atol=atol, restart=restart, max_it=max_it
+        )
+        if res is not None:
+            its, dp, rnorm, _ = res
+        else:  # no C++ toolchain: numpy fallback, same semantics
+            F, diag = od.host_ilu0(Ap)
+            its, dp, rnorm = od.host_gmres(
+                lambda v: Ap @ v,
+                r0p,
+                lambda v: od.host_ilu_apply(F, diag, v),
+                rtol=rtol,
+                atol=atol,
+                restart=restart,
+                max_it=max_it,
+                return_solution=True,
+            )
+        x = x0 + dp[iperm]
+        z1 = jnp.asarray(x[:nv].reshape(shape))
+        z2 = jnp.asarray(x[nv:].reshape(shape))
+        return z1, z2, jnp.asarray(its), jnp.asarray(float(rnorm))
+
+    return solve_host
+
+
 @lru_cache(maxsize=64)
 def _build_linear_solver(
     W: MixedFunctionSpace,
@@ -701,6 +788,18 @@ def _build_linear_solver(
     each grid axis (identity rows, zero data) — used by the sharded path to
     make node counts divisible by device-mesh axes."""
     flat = dict(frozen_sp)
+
+    if (
+        str(flat.get("pc_type", "")) == "ilu"
+        and str(flat.get("pc_factor_mat_ordering_type", "natural")) == "rcm"
+    ):
+        if padding:
+            raise ValueError(
+                "pc_factor_mat_ordering_type=rcm is a host parity path; "
+                "not available under sharding padding"
+            )
+        return _build_host_parity_ilu_solver(W, params, frozen_sp)
+
     op = DPPOperator(W, params, padding)
     mesh = W.mesh
     shape = op.grid_shape

@@ -35,3 +35,46 @@ def test_native_matches_numpy(builder):
     F_any = ilu0_factorize(sysm)  # dispatches to native when available
     F_np = _ilu0_factorize_numpy(sysm, *_factorization_tables(sysm))
     assert np.abs(F_any - F_np).max() < 1e-14
+
+
+def test_csr_kernels_match_numpy_reference():
+    """csr_ilu0_factorize + csr_gmres_ilu (csrc/csr_solver.cpp) must agree
+    with the pure-numpy host reference (ops/ordering.py) on factors,
+    iteration count, and solution."""
+    if _native.load() is None:
+        pytest.skip("no native toolchain")
+    from perphil_tpu.ops import ordering as od
+
+    mesh = create_mesh(5, 4)
+    params = DPPParameters()
+    sysm = build_monolithic_system(mesh, params)
+    A = od.to_csr(sysm)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.shape[0])
+
+    F, diag = od.host_ilu0(A)
+    its_np, x_np, rnorm_np = od.host_gmres(
+        lambda v: A @ v, b, lambda v: od.host_ilu_apply(F, diag, v),
+        return_solution=True,
+    )
+    res = od.native_ilu_gmres(A, b)
+    assert res is not None
+    its_c, x_c, rnorm_c, _ = res
+    assert its_c == its_np
+    assert np.abs(x_c - x_np).max() / np.abs(x_np).max() < 1e-10
+    assert abs(rnorm_c - rnorm_np) <= 1e-9 * max(rnorm_np, 1e-30)
+
+
+def test_csr_gmres_history_matches_final_norm():
+    if _native.load() is None:
+        pytest.skip("no native toolchain")
+    from perphil_tpu.ops import ordering as od
+
+    mesh = create_mesh(4, 4)
+    params = DPPParameters()
+    A = od.to_csr(build_monolithic_system(mesh, params))
+    b = np.linspace(1.0, 2.0, A.shape[0])
+    its, x, rnorm, hist = od.native_ilu_gmres(A, b, with_history=True)
+    assert hist is not None and len(hist) == its + 1
+    assert hist[-1] == pytest.approx(rnorm)
+    assert (np.diff(np.log(hist)) < 0).mean() > 0.8  # essentially monotone

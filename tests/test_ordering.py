@@ -52,3 +52,50 @@ def test_ngs_ordering_drift_is_bounded(N, ref):
     assert max(counts) - min(counts) <= max(2, 0.05 * ref)
     for c in counts:
         assert abs(c - ref) / ref < 0.25
+
+
+# --- ordering-parity production mode (pc_factor_mat_ordering_type=rcm) ----
+
+
+@pytest.mark.parametrize("N,ref", [(4, 6), (8, 8)])
+def test_parity_mode_reproduces_reference_counts_3d(N, ref):
+    """solve_dpp with the pc_factor_mat_ordering_type=rcm analog dispatches
+    to the host-native ordering-faithful ILU and reproduces the published
+    3D tet counts exactly (6/8 here; 15/26/33 at nx=16/32/40 verified in
+    the committed petsc_perf_breakdown_3d.csv)."""
+    from perphil_tpu.forms.spaces import create_function_spaces, mixed_space
+    from perphil_tpu.mesh.structured import create_cube_mesh
+    from perphil_tpu.models.dpp import DPPParameters
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.solvers import solve_dpp
+    from perphil_tpu.solvers.parameters import (
+        GMRES_ILU_PARAMS,
+        LINEAR_SOLVER_PARAMS,
+    )
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+
+    params = DPPParameters()
+    mesh = create_cube_mesh(N, N, N, hexahedral=False)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    _, p1e, _, p2e = exact_expressions_3d(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    sol = solve_dpp(
+        W, params, bcs,
+        solver_parameters={**GMRES_ILU_PARAMS, "pc_factor_mat_ordering_type": "rcm"},
+    )
+    assert sol.iteration_number == ref
+    # and the solution is the true solution (matches the direct solve)
+    ref_sol = solve_dpp(W, params, bcs, solver_parameters=LINEAR_SOLVER_PARAMS)
+    a = np.asarray(sol.solution.split()[0].dat)
+    b = np.asarray(ref_sol.solution.split()[0].dat)
+    assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 1e-6
+
+
+def test_cell_rcm_parity_is_a_permutation():
+    from perphil_tpu.mesh.structured import create_cube_mesh
+    from perphil_tpu.ops.ordering import cell_rcm_parity
+
+    mesh = create_cube_mesh(3, 3, 3, hexahedral=False)
+    perm = cell_rcm_parity(mesh)
+    assert sorted(perm) == list(range(mesh.num_vertices))
