@@ -114,3 +114,56 @@ def test_degree2_sharded_rejects_padding_clearly():
     dm = device_mesh([4, 2], axis_names=("y", "x"))
     with pytest.raises(NotImplementedError, match="lattice"):
         sharded_solve_dpp(W, params, bcs, dm, {"ksp_type": "preonly", "pc_type": "lu"})
+
+
+@needs_8
+def test_sharded_gmres_ilu_matches_single_device():
+    """GMRES + structured ILU(0) under GSPMD: the wavefront/scan-tree
+    trisolves are the likeliest structure for a partitioner to mangle
+    (sequential dependence along wavefronts), so pin sharded == unsharded
+    at a padded size (15 -> phantom-padded to 16 nodes per axis)."""
+    mesh = create_mesh(15, 15)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    params = DPPParameters()
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    ref = solve_dpp(W, params, bcs, solver_parameters=sp.GMRES_ILU_PARAMS)
+    dm = device_mesh([4, 2], axis_names=("y", "x"))
+    sol = sharded_solve_dpp(W, params, bcs, dm, solver_parameters=sp.GMRES_ILU_PARAMS)
+    assert sol.iteration_number == ref.iteration_number
+    for a, b in zip(sol.solution.data, ref.solution.data):
+        scale = np.abs(np.asarray(b)).max()
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-6
+
+
+@needs_8
+def test_scaling_harness_smoke():
+    """experiments/scaling.py end-to-end on the virtual mesh: correct row
+    schema, iteration counts stable across device counts, CSV round-trip."""
+    import csv as _csv
+
+    from perphil_tpu.experiments.iterative_bench import Approach
+    from perphil_tpu.experiments.scaling import run_scaling, save_scaling_csv
+
+    rows = run_scaling(
+        modes=("strong",),
+        device_counts=(1, 4),
+        base_n=12,
+        dim=2,
+        approaches=[Approach.SS_GMRES],
+        repeats=1,
+    )
+    assert [r.devices for r in rows] == [1, 4]
+    its = {r.iterations for r in rows}
+    assert len(its) == 1, f"iteration count must not depend on sharding: {its}"
+    assert rows[0].efficiency == 1.0 and rows[1].speedup > 0
+    out = tmp = None
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        out = f"{d}/scaling.csv"
+        save_scaling_csv(rows, out)
+        with open(out) as f:
+            got = list(_csv.DictReader(f))
+    assert len(got) == 2 and got[0]["mode"] == "strong"
