@@ -43,14 +43,37 @@ APPROACHES = [
 # %%
 # PERPHIL_PLOTS_ONLY=1 re-renders the figures from the committed CSV
 # without re-running the (hours-long) TPU sweep.
+#
+# The main CSV runs GMRES+ILU in ORDERING-PARITY mode
+# (pc_factor_mat_ordering_type=rcm: the reference's DMPlex numbering
+# emulation, host-native kernels) so the iteration column matches the
+# reference CSV at every size (6/8/15/26/33). The TPU-production
+# envelope-pattern ILU — a strictly stronger PC with fewer iterations and
+# device-speed applies — is regenerated alongside into
+# `petsc_perf_breakdown_3d_envelope_ilu.csv`.
 if os.environ.get("PERPHIL_PLOTS_ONLY"):
     df = pd.read_csv(OUT / "petsc_perf_breakdown_3d.csv")
 else:
     rows = []
     for n in SIZES:
-        rows.extend(run_perf_sweep_3d([n], approaches=APPROACHES, repeats=3, backend="events"))
+        rows.extend(
+            run_perf_sweep_3d(
+                [n], approaches=APPROACHES, repeats=3, backend="events",
+                ordering_parity=True,
+            )
+        )
         save_perf_csv(rows, OUT / "petsc_perf_breakdown_3d.csv")  # incremental
     df = pd.DataFrame(rows)
+
+    env_rows = []
+    for n in SIZES:
+        env_rows.extend(
+            run_perf_sweep_3d([n], approaches=[Approach.GMRES_ILU], repeats=3,
+                              backend="events")
+        )
+    for r in env_rows:
+        r["approach"] = "GMRES + ILU PC (envelope, production)"
+    save_perf_csv(env_rows, OUT / "petsc_perf_breakdown_3d_envelope_ilu.csv")
 print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index=False))
 
 # %%

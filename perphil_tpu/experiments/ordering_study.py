@@ -52,6 +52,8 @@ ORDERINGS = ("natural", "vertex-rcm", "cell-rcm", "cell-rcm-parity", "random")
 REF_ILU_3D = {4: 6, 8: 8, 16: 15, 32: 26, 40: 33}  # petsc_perf_breakdown_3d.csv
 REF_ILU_2D = {4: 5, 8: 7, 16: 11, 32: 20, 64: 43, 128: 74, 256: 117}
 REF_NGS_2D = {4: 16, 8: 63, 16: 194, 32: 635}
+# full Picard row of petsc_perf_breakdown-with-picard.csv
+REF_NGS_2D_FULL = {4: 16, 8: 63, 16: 194, 32: 635, 64: 1673, 128: 5135}
 
 
 def _setup(N: int, dim: int, quad_or_hex: bool):
@@ -172,6 +174,77 @@ def run_study(
     return rows
 
 
+def ngs_coloring_case(N: int, weight: str, pattern: str) -> Tuple[int, int]:
+    """One faithful re-draw of PETSc's randomized-coloring NGS: color the
+    Jacobian pattern greedily with drand48 weights (largest first — exactly
+    MATCOLORINGGREEDY with the default rander48 state), then run
+    secant-NGS multicolor sweeps. Returns (sweeps, ncolors).
+
+    ``weight``: "drand48" (bare LCG weights) or "drand48+deg" (weights
+    biased by vertex degree — the other documented greedy variant).
+    ``pattern``: "full" colors the stored aij pattern (Firedrake keeps
+    eliminated entries as explicit zeros) or "values" (nonzeros only).
+    The reference CSVs don't record PETSc's actual draw, so no variant is
+    expected to match exactly; together they bracket the published counts.
+    """
+    from perphil_tpu.ops.ordering import (
+        colored_ngs_sweeps,
+        drand48_weights,
+        greedy_coloring,
+    )
+
+    mesh, params, sysm, A, b, x0 = _setup(N, 2, True)
+    A = A.tocsr()
+    n = A.shape[0]
+    if pattern == "full":
+        import scipy.sparse as sp
+
+        rows_, cols_ = [], []
+        for t in range(sysm.vals.shape[1]):
+            r = np.flatnonzero(sysm.valid[:, t])
+            rows_.append(r)
+            cols_.append(r + sysm.deltas[t])
+        rr = np.concatenate(rows_)
+        cc = np.concatenate(cols_)
+        ok = (cc >= 0) & (cc < n)
+        G = sp.csr_matrix((np.ones(ok.sum()), (rr[ok], cc[ok])), shape=(n, n))
+    else:
+        G = A
+    w = drand48_weights(n)
+    if weight == "drand48+deg":
+        w = w + np.diff(G.tocsr().indptr)
+    order = np.argsort(w, kind="stable")[::-1]
+    colors = greedy_coloring(G, order)
+    its = colored_ngs_sweeps(A, b, x0, colors)
+    return its, int(colors.max()) + 1
+
+
+def run_ngs_coloring_study(
+    sizes: List[int], out: Optional[Path] = None
+) -> List[dict]:
+    """Sweep the faithful coloring re-draws; writes ``ngs_coloring.csv``
+    (the documented justification for the Picard-count residual gap)."""
+    rows: List[dict] = []
+    for N in sizes:
+        ref = REF_NGS_2D_FULL.get(N, "")
+        lex = ngs_case(N, 2, "natural", stol=0.0)
+        rows.append(
+            dict(N=N, variant="lexicographic-gs", ncolors="", its=lex,
+                 reference_its=ref)
+        )
+        for weight in ("drand48", "drand48+deg"):
+            for pattern in ("full", "values"):
+                its, nc = ngs_coloring_case(N, weight, pattern)
+                rows.append(
+                    dict(N=N, variant=f"colored:{weight}/{pattern}",
+                         ncolors=nc, its=its, reference_its=ref)
+                )
+        print(f"[ngs-coloring] N={N}: {rows[-4:]}", flush=True)
+        if out is not None:
+            save_csv(rows, out)
+    return rows
+
+
 def save_csv(rows: List[dict], path: Path) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     with path.open("w", newline="") as f:
@@ -183,25 +256,43 @@ def save_csv(rows: List[dict], path: Path) -> None:
 def main(argv=None) -> None:
     import argparse
 
+    # Host-side CSR analysis: the JAX usage is setup-only (RHS lift), so pin
+    # the CPU backend — must precede backend init and wins over sitecustomize
+    # files that force an accelerator platform at interpreter start.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--fast", action="store_true")
     ap.add_argument(
-        "--out",
-        type=Path,
-        default=Path(__file__).parents[2]
-        / "notebooks"
-        / "results-conforming-3d"
-        / "ordering"
-        / "ordering_sensitivity.csv",
+        "--ngs-coloring",
+        action="store_true",
+        help="run the randomized-coloring NGS re-draw study instead "
+        "(writes results-conforming-2d/ordering/ngs_coloring.csv)",
     )
+    ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args(argv)
+    nb = Path(__file__).parents[2] / "notebooks"
+    if args.ngs_coloring:
+        out = args.out or (
+            nb / "results-conforming-2d" / "ordering" / "ngs_coloring.csv"
+        )
+        sizes = [4, 8, 16] if args.fast else [4, 8, 16, 32, 64, 128]
+        rows = run_ngs_coloring_study(sizes, out=out)
+        save_csv(rows, out)
+        print(f"[ngs-coloring] wrote {len(rows)} rows -> {out}")
+        return
+    out = args.out or (
+        nb / "results-conforming-3d" / "ordering" / "ordering_sensitivity.csv"
+    )
     if args.fast:
         sizes = ([4, 8], [4, 8], [4, 8])
     else:
         sizes = ([4, 8, 16, 32], [4, 8, 16, 32], [4, 8, 16])
-    rows = run_study(*sizes, out=args.out)
-    save_csv(rows, args.out)
-    print(f"[ordering] wrote {len(rows)} rows -> {args.out}")
+    rows = run_study(*sizes, out=out)
+    save_csv(rows, out)
+    print(f"[ordering] wrote {len(rows)} rows -> {out}")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,10 @@ class ScalingRow:
     time_s: float
     speedup: float
     efficiency: float
+    # device platform ("cpu" = virtual mesh: harness validation only — all
+    # k devices share one host's cores, so efficiencies are NOT indicative
+    # of ICI scaling; "tpu" = real chips)
+    platform: str = "unknown"
 
     def to_dict(self) -> Dict[str, Any]:
         return dict(self.__dict__)
@@ -147,6 +151,7 @@ def run_scaling(
                     time_s=dt,
                     speedup=speedup,
                     efficiency=eff,
+                    platform=jax.devices()[0].platform,
                 )
                 rows.append(row)
                 print(

@@ -4,11 +4,13 @@ Parity with ``/root/reference/src/perphil/forms/spaces.py:5-36`` (Firedrake
 ``FunctionSpace``/``VectorFunctionSpace`` factories) and the implicit Function
 machinery the reference gets from Firedrake.
 
-Only continuous piecewise-(bi/tri)linear spaces are supported (Q1 on
-quads/hexes, P1 on triangles/tets) — the only spaces any perphil workload
-uses (``pressure_deg=1`` defaults throughout, e.g. ``forms/spaces.py:7``).
-DoFs are vertex values stored as grid-shaped arrays (``mesh.node_shape``),
-which keeps every operator application a stencil/convolution.
+Continuous Lagrange spaces on the structured lattice: Q1/P1 (the only
+degree any published perphil workload uses — ``pressure_deg=1`` defaults
+throughout, e.g. reference ``forms/spaces.py:7``), arbitrary-degree Qp on
+tensor-product meshes (``ops/tensorfem``), and P2 on simplex meshes
+(``ops/simplexfem`` — P2 DoFs coincide with the once-refined lattice).
+DoFs are stored as grid-shaped arrays over ``dof_mesh.node_shape``, which
+keeps every operator application a stencil/convolution.
 """
 
 from __future__ import annotations
@@ -26,11 +28,12 @@ from perphil_tpu.mesh.structured import StructuredMesh
 
 @dataclass(frozen=True)
 class FunctionSpace:
-    """Scalar or vector CG1 space on a structured mesh.
+    """Scalar or vector CG space on a structured mesh.
 
     :param mesh: the structured mesh.
     :param family: "CG" (aliases "Lagrange", "Q", "P" accepted).
-    :param degree: polynomial degree; only 1 is supported.
+    :param degree: polynomial degree — any p on quad/hex meshes (Qp),
+        1 or 2 on simplex meshes (P1/P2).
     :param value_shape: () for scalar, (dim,) for vector spaces.
     """
 
@@ -44,10 +47,12 @@ class FunctionSpace:
             raise ValueError(f"Unsupported family {self.family!r}; only CG1-type spaces exist")
         if self.degree < 1:
             raise ValueError("degree must be >= 1")
-        if self.degree > 1 and not self.mesh.is_tensor_product:
+        if self.degree > 2 and not self.mesh.is_tensor_product:
             raise ValueError(
-                "Degree > 1 is supported on tensor-product (quad/hex) meshes "
-                "only (Qp via ops/tensorfem); simplex meshes are P1-only"
+                "Simplex meshes support degrees 1 and 2 (P2 DoFs are the "
+                "once-refined lattice, ops/simplexfem); degree > 2 has no "
+                "half-lattice structure. Tensor-product meshes support any "
+                "degree (Qp via ops/tensorfem)."
             )
 
     @property

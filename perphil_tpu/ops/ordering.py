@@ -67,6 +67,9 @@ __all__ = [
     "host_gs_sweeps",
     "native_ilu_gmres",
     "cell_rcm_parity",
+    "drand48_weights",
+    "greedy_coloring",
+    "colored_ngs_sweeps",
 ]
 
 
@@ -492,6 +495,80 @@ def native_ilu_gmres(
         _d(hist) if with_history else ctypes.cast(None, dp),
     )
     return int(its), x, float(rnorm[0]), (hist[: int(its) + 1] if with_history else None)
+
+
+def drand48_weights(n: int, x0: int = 0x1234ABCD330E) -> np.ndarray:
+    """The exact drand48 LCG sequence from its documented default state —
+    what PETSc's ``PetscRandom`` (rander48) hands MATCOLORINGGREEDY as
+    vertex weights when no seed is set."""
+    a, c, m = 0x5DEECE66D, 0xB, 1 << 48
+    out = np.empty(n)
+    x = x0
+    for i in range(n):
+        x = (a * x + c) % m
+        out[i] = x / m
+    return out
+
+
+def greedy_coloring(A: sp.spmatrix, order: np.ndarray) -> np.ndarray:
+    """Greedy distance-1 coloring processing vertices in ``order``
+    (PETSc MATCOLORINGGREEDY processes largest weight first)."""
+    A = A.tocsr()
+    n = A.shape[0]
+    colors = -np.ones(n, dtype=np.int64)
+    indptr, indices = A.indptr, A.indices
+    for v in order:
+        used = set()
+        for j in indices[indptr[v] : indptr[v + 1]]:
+            if j != v and colors[j] >= 0:
+                used.add(colors[j])
+        c = 0
+        while c in used:
+            c += 1
+        colors[v] = c
+    return colors
+
+
+def colored_ngs_sweeps(
+    A: sp.csr_matrix,
+    b: np.ndarray,
+    x0: np.ndarray,
+    colors: np.ndarray,
+    rtol: float = 1e-8,
+    atol: float = 1e-12,
+    stol: float = 0.0,
+    max_it: int = 30000,
+) -> int:
+    """Multicolor Gauss-Seidel sweep count with PETSc
+    SNESComputeNGSDefaultSecant semantics: for each color in ascending
+    index, update every DoF of that color simultaneously by a secant step
+    on the CURRENT residual (for a linear residual the secant slope is
+    exactly the diagonal). One SNES 'ngs' iteration == one full pass over
+    the colors. Stops on SNESConvergedDefault criteria.
+
+    PETSc's coloring is randomized (drand48 weights, ``drand48_weights``)
+    and the reference CSVs do not record the draw; re-draws with faithful
+    weight/pattern variants bracket the published Picard counts within
+    ~8% (see ``experiments/ordering_study.py`` and
+    ``results-conforming-2d/ordering/ngs_coloring.csv``).
+    """
+    A = A.tocsr()
+    x = x0.astype(np.float64).copy()
+    diag = A.diagonal()
+    fnorm0 = np.linalg.norm(b - A @ x)
+    ncolors = int(colors.max()) + 1
+    masks = [colors == c for c in range(ncolors)]
+    for it in range(1, max_it + 1):
+        xold = x.copy()
+        for m in masks:
+            r = b - A @ x
+            x[m] += r[m] / diag[m]
+        fnorm = np.linalg.norm(b - A @ x)
+        if fnorm <= atol or fnorm <= rtol * fnorm0:
+            return it
+        if stol and np.linalg.norm(x - xold) <= stol * np.linalg.norm(x):
+            return it
+    return max_it
 
 
 def host_gs_sweeps(

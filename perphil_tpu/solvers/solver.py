@@ -1181,6 +1181,83 @@ def _build_tensor_linear_solver(
     return _lifted_jit(solve_gmres, _ex, _ex)
 
 
+@lru_cache(maxsize=16)
+def _build_simplex_p2_linear_solver(
+    W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
+) -> Callable:
+    """P2 linear solver on simplex meshes (``ops/simplexfem``): GMRES with
+    none/jacobi preconditioning on the parity-class stencil operator
+    (device path), host sparse-LU for preonly+lu (the MUMPS role — simplex
+    P2 has no tensor fast-diagonalization structure)."""
+    from perphil_tpu.config import default_dtype
+    from perphil_tpu.ops.krylov import gmres
+    from perphil_tpu.ops.simplexfem import P2SimplexDPPOperator
+
+    flat = dict(frozen_sp)
+    mesh = W.mesh
+    op = P2SimplexDPPOperator(mesh, params)
+    ksp = str(flat.get("ksp_type", "preonly"))
+    pc_type = str(flat.get("pc_type", "lu"))
+    rtol = float(flat.get("ksp_rtol", 1e-5))
+    atol = float(flat.get("ksp_atol", 1e-50))
+    max_it = int(flat.get("ksp_max_it", 10000))
+    restart = int(flat.get("ksp_gmres_restart", 30))
+    shape = op.dof_shape
+    n = int(np.prod(shape))
+
+    if ksp == "preonly":
+        if pc_type not in ("lu", "cholesky"):
+            raise ValueError(f"P2 simplex preonly supports pc_type=lu, got {pc_type!r}")
+        from scipy.sparse.linalg import splu
+
+        from perphil_tpu.ops.simplexfem import assemble_p2_monolithic
+
+        lu = splu(assemble_p2_monolithic(mesh, params).tocsc())
+
+        def solve_direct(g1, g2):
+            b1, b2 = op.lifted_rhs(g1, g2)
+            b = np.concatenate([np.asarray(b1).ravel(), np.asarray(b2).ravel()])
+            x = lu.solve(b)
+            z1 = jnp.asarray(x[:n].reshape(shape))
+            z2 = jnp.asarray(x[n:].reshape(shape))
+            return z1, z2, jnp.asarray(1), jnp.asarray(0.0)
+
+        return solve_direct
+
+    if ksp != "gmres":
+        raise ValueError(f"P2 simplex spaces support preonly/gmres, got {ksp!r}")
+
+    bdry = jnp.asarray(op.boundary_mask)
+    if pc_type in ("none", ""):
+        pc = None
+    elif pc_type == "jacobi":
+        dstack = op.diagonal_stacked()
+
+        def pc(r):
+            return r / dstack
+
+    else:
+        raise ValueError(
+            f"Unsupported pc_type {pc_type!r} for P2 simplex (none/jacobi/"
+            "preonly+lu)"
+        )
+
+    mv = op.stacked_matvec()
+
+    def solve_gmres(g1, g2):
+        b1, b2 = op.lifted_rhs(g1, g2)
+        x0 = jnp.stack([jnp.where(bdry, g1, 0.0), jnp.where(bdry, g2, 0.0)])
+        b = jnp.stack([b1, b2])
+        res = gmres(
+            mv, b, x0=x0, rtol=rtol, atol=atol, max_it=max_it,
+            restart=restart, M_inv=pc,
+        )
+        return res.x[0], res.x[1], res.iterations, res.residual_norm
+
+    _ex = jnp.zeros(shape, dtype=default_dtype())
+    return _lifted_jit(solve_gmres, _ex, _ex)
+
+
 def solve_dpp(
     W: MixedFunctionSpace,
     model_params: DPPParameters,
@@ -1197,7 +1274,11 @@ def solve_dpp(
     solver_parameters = apply_prefix_overrides(solver_parameters, options_prefix)
     g1, g2 = bc_values_per_field(W, bcs)
     degree = W.spaces[0].degree
-    if degree > 1:
+    if degree > 1 and not W.mesh.is_tensor_product:
+        solver = _build_simplex_p2_linear_solver(
+            W, model_params, _freeze(solver_parameters)
+        )
+    elif degree > 1:
         solver = _build_tensor_linear_solver(W, model_params, _freeze(solver_parameters))
     else:
         solver = _build_linear_solver(W, model_params, _freeze(solver_parameters))

@@ -50,11 +50,17 @@ def _cells_grid_shape(mesh: StructuredMesh) -> Tuple[int, ...]:
 
 
 def _fe_value_at(data: jnp.ndarray, mesh: StructuredMesh, qp: QPoint) -> jnp.ndarray:
-    """FE function value at one quadrature point of every cell (cell grid)."""
+    """FE function value at one quadrature point of every cell (cell grid).
+
+    ``qp.stride`` steps the node lattice per grid cell (1 for degree-1 data
+    on the vertex grid, 2 for P2 data on the refined lattice)."""
     cshape = _cells_grid_shape(mesh)
+    s = qp.stride
     val = None
     for off, b in zip(qp.vertex_offsets, qp.basis):
-        sl = tuple(slice(o, o + c) for o, c in zip(reversed(off), cshape))
+        sl = tuple(
+            slice(o, o + s * (c - 1) + 1, s) for o, c in zip(reversed(off), cshape)
+        )
         term = b * data[sl]
         val = term if val is None else val + term
     return val
@@ -66,9 +72,12 @@ def _fe_grad_at(
     """FE gradient (coordinate-ordered components) at one qp of every cell."""
     cshape = _cells_grid_shape(mesh)
     d = mesh.dim
+    s = qp.stride
     comps = [None] * d
     for off, g in zip(qp.vertex_offsets, qp.basis_grad):
-        sl = tuple(slice(o, o + c) for o, c in zip(reversed(off), cshape))
+        sl = tuple(
+            slice(o, o + s * (c - 1) + 1, s) for o, c in zip(reversed(off), cshape)
+        )
         patch = data[sl]
         for ax in range(d):
             if g[ax] == 0.0:
@@ -106,23 +115,39 @@ def _exact_grad_at(exact, mesh: StructuredMesh, qp: QPoint, origins):
 # ---------------------------------------------------------------------------
 
 
+def _quadrature_for(space, quadrature_degree: int):
+    """QPoint table matching the space's degree: P2-simplex tables for
+    degree-2 simplex spaces, the degree-1 vertex tables otherwise (Qp
+    tensor spaces never reach here — they use ``errornorm_p``)."""
+    mesh = space.mesh
+    if space.degree == 2 and not mesh.is_tensor_product:
+        from perphil_tpu.utils.quadrature import cell_quadrature_p2
+
+        return cell_quadrature_p2(mesh, quadrature_degree)
+    if space.degree > 1:
+        raise NotImplementedError(
+            f"error norms for degree-{space.degree} simplex spaces"
+        )
+    return cell_quadrature(mesh, quadrature_degree)
+
+
 def l2_error(
     numerical: Function,
     exact_expr: Any,
     quadrature_degree: int = DEFAULT_QUADRATURE_DEGREE,
 ) -> float:
     """||numerical - exact||_{L2}; reference ``postprocessing.py:89-105``."""
-    if numerical.space.degree > 1:
+    mesh = numerical.space.mesh
+    if numerical.space.degree > 1 and mesh.is_tensor_product:
         from perphil_tpu.ops.tensorfem import errornorm_p
 
         return errornorm_p(
-            numerical.data, exact_expr, numerical.space.mesh,
+            numerical.data, exact_expr, mesh,
             numerical.space.degree, "l2", quadrature_degree,
         )
-    mesh = numerical.space.mesh
     origins = _cell_origin_coords(mesh)
     total = 0.0
-    for qp in cell_quadrature(mesh, quadrature_degree):
+    for qp in _quadrature_for(numerical.space, quadrature_degree):
         diff = _fe_value_at(numerical.data, mesh, qp) - _exact_at(
             exact_expr, mesh, qp, origins
         )
@@ -136,17 +161,17 @@ def h1_seminorm_error(
     quadrature_degree: int = DEFAULT_QUADRATURE_DEGREE,
 ) -> float:
     """|numerical - exact|_{H1}; reference ``postprocessing.py:108-124``."""
-    if numerical.space.degree > 1:
+    mesh = numerical.space.mesh
+    if numerical.space.degree > 1 and mesh.is_tensor_product:
         from perphil_tpu.ops.tensorfem import errornorm_p
 
         return errornorm_p(
-            numerical.data, exact_expr, numerical.space.mesh,
+            numerical.data, exact_expr, mesh,
             numerical.space.degree, "h1s", quadrature_degree,
         )
-    mesh = numerical.space.mesh
     origins = _cell_origin_coords(mesh)
     total = 0.0
-    for qp in cell_quadrature(mesh, quadrature_degree):
+    for qp in _quadrature_for(numerical.space, quadrature_degree):
         fe = _fe_grad_at(numerical.data, mesh, qp)
         ex = _exact_grad_at(exact_expr, mesh, qp, origins)
         for a, b in zip(fe, ex):

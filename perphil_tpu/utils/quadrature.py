@@ -31,9 +31,13 @@ class QPoint:
 
     :param weight: physical weight (includes cell Jacobian).
     :param point: physical offset from the cell's lower corner, coord order.
-    :param vertex_offsets: integer vertex offsets of the owning sub-cell.
-    :param basis: FE basis values at the point, one per vertex offset.
-    :param basis_grad: physical-space basis gradients, shape (nverts, dim).
+    :param vertex_offsets: integer node offsets of the owning sub-cell, on
+        the lattice with ``stride`` steps per grid cell (vertices for
+        degree 1, refined-lattice nodes for P2).
+    :param basis: FE basis values at the point, one per node offset.
+    :param basis_grad: physical-space basis gradients, shape (nnodes, dim).
+    :param stride: lattice refinements per grid cell (1 for degree 1,
+        2 for P2 — the data array then has ``stride*cells + 1`` nodes/axis).
     """
 
     weight: float
@@ -41,6 +45,7 @@ class QPoint:
     vertex_offsets: Tuple[Tuple[int, ...], ...]
     basis: Tuple[float, ...]
     basis_grad: Tuple[Tuple[float, ...], ...]
+    stride: int = 1
 
 
 def gauss_legendre_01(n: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -179,5 +184,61 @@ def cell_quadrature(
 ) -> Tuple[QPoint, ...]:
     """Quadrature table for one grid cell of the mesh (cached)."""
     return _cell_quadrature_cached(
+        mesh.cells, mesh.element, mesh.diagonal, mesh.extent, degree
+    )
+
+
+@lru_cache(maxsize=None)
+def _cell_quadrature_p2_cached(
+    cells: Tuple[int, ...], element: str, diagonal: str, extent: Tuple[float, ...],
+    degree: int,
+) -> Tuple[QPoint, ...]:
+    from perphil_tpu.ops.element import cell_subcells
+    from perphil_tpu.ops.simplexfem import _p2_basis, p2_local_nodes
+
+    mesh = StructuredMesh(cells=cells, element=element, diagonal=diagonal, extent=extent)
+    if mesh.is_tensor_product:
+        raise ValueError("P2 quadrature tables are for simplex meshes (Qp uses tensorfem)")
+    d = mesh.dim
+    h = mesh.h
+    n1 = max(1, (degree + 2) // 2)
+    xq, wq = gauss_legendre_01(n1)
+    qpts: List[QPoint] = []
+    for verts, _, _ in cell_subcells(element, h, diagonal):
+        verts_phys = verts.astype(float) * np.asarray(h)
+        E = (verts_phys[1:] - verts_phys[0]).T
+        detE = abs(float(np.linalg.det(E)))
+        Einv = np.linalg.inv(E)
+        grads_l = np.zeros((d + 1, d))
+        grads_l[1:] = Einv
+        grads_l[0] = -Einv.sum(axis=0)
+        nodes = p2_local_nodes(verts)
+        for idx in itertools.product(range(n1), repeat=d):
+            u = np.array([xq[i] for i in idx])
+            w = float(np.prod([wq[i] for i in idx]))
+            x, jac = _duffy(u)
+            lam = np.concatenate([[1.0 - x.sum()], x])
+            phi, grad = _p2_basis(lam, grads_l)
+            p = verts_phys[0] + E @ x
+            qpts.append(
+                QPoint(
+                    weight=w * jac * detE,
+                    point=tuple(p),
+                    vertex_offsets=tuple(tuple(int(c) for c in nn) for nn in nodes),
+                    basis=tuple(phi),
+                    basis_grad=tuple(tuple(row) for row in grad),
+                    stride=2,
+                )
+            )
+    return tuple(qpts)
+
+
+def cell_quadrature_p2(
+    mesh: StructuredMesh, degree: int = DEFAULT_QUADRATURE_DEGREE
+) -> Tuple[QPoint, ...]:
+    """P2 quadrature table for one grid cell of a simplex mesh: node offsets
+    live on the once-refined lattice (``stride=2``), basis values/gradients
+    are the quadratic Lagrange functions (``ops/simplexfem``)."""
+    return _cell_quadrature_p2_cached(
         mesh.cells, mesh.element, mesh.diagonal, mesh.extent, degree
     )

@@ -45,9 +45,14 @@ def dev_install(args):
 
 @task
 def tests(args):
-    """Run the test suite (mirrors `inv tests`, reference tasks.py:1262-1338)."""
+    """Run the FULL test suite, slow-marked tests included (mirrors
+    `inv tests`, reference tasks.py:1262-1338). Bare `pytest -q` skips the
+    slow set for a fast everyday loop (see tests/conftest.py)."""
+    import os
+
     extra = args.rest or ["-q"]
-    _run([sys.executable, "-m", "pytest", "tests/", *extra])
+    env = {**os.environ, "PERPHIL_RUN_SLOW": "1"}
+    _run([sys.executable, "-m", "pytest", "tests/", *extra], env=env)
 
 
 @task

@@ -26,3 +26,22 @@ import jax  # noqa: E402  (import after env setup)
 # bench.py and __graft_entry__.entry() exercise the real device.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default runs skip `slow`-marked tests (interpret-mode fused-kernel
+    validation and long halo benchmarks) to keep the everyday suite fast.
+    They still run when PERPHIL_RUN_SLOW=1 (CI / `python tasks.py tests`)
+    or when the user's -m expression names `slow` explicitly."""
+    if os.environ.get("PERPHIL_RUN_SLOW"):
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(
+        reason="slow test (set PERPHIL_RUN_SLOW=1 or -m slow to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

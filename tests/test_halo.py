@@ -13,6 +13,10 @@ from perphil_tpu.ops.assembly import DPPOperator
 from perphil_tpu.parallel.halo import shard_map_stacked_matvec
 from perphil_tpu.parallel.sharding import device_mesh
 
+# slow: explicit-halo benchmark and multi-axis exchanges; run with PERPHIL_RUN_SLOW=1 or -m slow (CI does)
+pytestmark = pytest.mark.slow
+
+
 needs_8 = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
 
 

@@ -17,6 +17,10 @@ from pathlib import Path
 import jax
 import pytest
 
+# slow: spawns a 2-process jax.distributed run; run with PERPHIL_RUN_SLOW=1 or -m slow (CI does)
+pytestmark = pytest.mark.slow
+
+
 WORKER = Path(__file__).parent / "_mp_worker.py"
 
 

@@ -15,6 +15,10 @@ from perphil_tpu.models.dpp import DPPParameters
 from perphil_tpu.ops.assembly import DirichletBC, DPPOperator
 from perphil_tpu.ops.df32 import eft_safe_compiler_options
 
+# slow: interpret-mode fused direct-solve validation; run with PERPHIL_RUN_SLOW=1 or -m slow (CI does)
+pytestmark = pytest.mark.slow
+
+
 
 def _setup(dim, N):
     params = DPPParameters()

@@ -21,6 +21,10 @@ from perphil_tpu.ops.df32 import df_from_f64, eft_safe_compiler_options
 from perphil_tpu.ops.dfvec import df_norm, df_vec_sub
 from perphil_tpu.utils.manufactured_solutions import exact_expressions
 
+# slow: interpret-mode whole-solve kernel validation; run with PERPHIL_RUN_SLOW=1 or -m slow (CI does)
+pytestmark = pytest.mark.slow
+
+
 
 def _setup(N):
     params = DPPParameters()

@@ -5,11 +5,16 @@ import jax.numpy as jnp
 import pytest
 
 from perphil_tpu.ops.partri import (
+
+
     AffineChainScan,
     GridTriSolve2D,
     GridTriSolve3D,
     apply_varcoef_stencil,
 )
+
+# slow: parallel-prefix trisolve trees (heavy on CPU); run with PERPHIL_RUN_SLOW=1 or -m slow (CI does)
+pytestmark = pytest.mark.slow
 
 
 @pytest.mark.parametrize("n", [1, 2, 3, 5, 8, 9, 17, 40])

@@ -8,6 +8,8 @@ from perphil_tpu.mesh.structured import StructuredMesh
 from perphil_tpu.models.dpp.parameters import DPPParameters
 from perphil_tpu.ops import ilu as ilu_mod
 from perphil_tpu.ops.ilu import (
+
+
     GaussSeidelSweeper,
     PartriGS,
     PartriILU,
@@ -18,6 +20,9 @@ from perphil_tpu.ops.ilu import (
     _padded_levels,
     _wavefront_unroll,
 )
+
+# slow: scan-tree ILU applications (heavy on CPU); run with PERPHIL_RUN_SLOW=1 or -m slow (CI does)
+pytestmark = pytest.mark.slow
 
 
 def _mesh(dim, n, simplex):

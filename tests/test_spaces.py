@@ -26,11 +26,14 @@ def test_create_function_spaces_quad_and_tri():
 
 
 def test_unsupported_degree():
-    # degree > 1 exists on tensor-product meshes only (Qp via ops/tensorfem);
-    # simplex meshes remain P1-only, and degree < 1 is always rejected
+    # simplex meshes support P1/P2 (ops/simplexfem); degree > 2 has no
+    # half-lattice structure there. Tensor-product meshes take any degree
+    # (Qp via ops/tensorfem); degree < 1 is always rejected.
     tri = create_mesh(2, 2, quadrilateral=False)
+    V2t = FunctionSpace(tri, degree=2)
+    assert V2t.dim() == 25  # P2 DoFs == once-refined lattice
     with pytest.raises(ValueError):
-        FunctionSpace(tri, degree=2)
+        FunctionSpace(tri, degree=3)
     quad = create_mesh(2, 2)
     with pytest.raises(ValueError):
         FunctionSpace(quad, degree=0)
