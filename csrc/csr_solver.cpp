@@ -212,4 +212,57 @@ int64_t csr_gmres_ilu(int64_t n, const int64_t* a_indptr,
   return its;
 }
 
+// Sequential pointwise Gauss-Seidel sweeps on A x = b starting from x
+// (updated in place), with SNESConvergedDefault-style stopping:
+// ||b - A x|| <= max(rtol * ||b - A x0||, atol), or the step test
+// ||x - x_prev|| < stol * ||x|| (PETSc snes_stol). Returns the sweep
+// count. The role of SNES 'ngs' on one rank (lexicographic order); the
+// numpy fallback is ops/ordering.py::host_gs_sweeps.
+int64_t csr_gs_sweeps(int64_t n, const int64_t* indptr,
+                      const int64_t* indices, const double* data,
+                      const double* b, double* x, double rtol, double atol,
+                      double stol, int64_t max_it) {
+  std::vector<double> diag(n), r(n), prev(n);
+  for (int64_t i = 0; i < n; ++i) {
+    diag[i] = 0.0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (indices[k] == i) {
+        diag[i] = data[k];
+        break;
+      }
+  }
+  spmv(n, indptr, indices, data, x, r.data());
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) r[i] = b[i] - r[i];
+  const double f0 = nrm2(n, r.data());
+  const double tol = std::max(rtol * f0, atol);
+  int64_t sweeps = 0;
+  double fn = f0;
+  while (fn > tol && sweeps < max_it) {
+    std::memcpy(prev.data(), x, sizeof(double) * n);
+    for (int64_t i = 0; i < n; ++i) {
+      double s = b[i];
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int64_t j = indices[k];
+        if (j != i) s -= data[k] * x[j];
+      }
+      x[i] = s / diag[i];
+    }
+    ++sweeps;
+    spmv(n, indptr, indices, data, x, r.data());
+    double fs = 0.0, ds = 0.0, xs = 0.0;
+#pragma omp parallel for reduction(+ : fs, ds, xs) schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      const double ri = b[i] - r[i];
+      fs += ri * ri;
+      const double di = x[i] - prev[i];
+      ds += di * di;
+      xs += x[i] * x[i];
+    }
+    fn = std::sqrt(fs);
+    if (std::sqrt(ds) < stol * std::sqrt(xs)) break;
+  }
+  return sweeps;
+}
+
 }  // extern "C"

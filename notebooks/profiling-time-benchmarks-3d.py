@@ -122,3 +122,21 @@ fig2.tight_layout()
 fig2.savefig(OUT / "time_breakdown_stacked_3d.png", dpi=150)
 print("wrote", OUT / "time_breakdown_stacked_3d.png")
 print("wrote", OUT / "time_benchmarks_3d.png")
+
+# %% [markdown]
+# ## Full reference figure set (3D)
+#
+# Every figure family of the reference 3D notebook, rendered from the same
+# CSV via the shared library (`notebooks/_perf_figures.py`) with the
+# reference's `_3d` output filenames.
+
+# %%
+import sys
+
+sys.path.insert(0, str(Path(__file__).parent))
+import _perf_figures as pf
+
+pf.all_figures(df, OUT, sfx="_3d")
+for name, table in pf.per_iteration_tables(df).items():
+    print(f"--- per-iteration summary ({name}) ---")
+    print(table.to_string(index=False))

@@ -160,3 +160,23 @@ ax.legend(fontsize=7)
 fig.tight_layout()
 fig.savefig(OUT / "device_memory.png", dpi=150)
 print("wrote", OUT / "device_memory.png")
+
+# %% [markdown]
+# ## Full reference figure set
+#
+# Every figure family of the reference notebook (per-metric bars,
+# per-iteration scaling, fixed-nx wall-time partitions, KSP-internal
+# composition, PC-vs-KSP comparisons, time-vs-memory) rendered from the same
+# CSV via the shared library (`notebooks/_perf_figures.py`), with the
+# reference's output filenames.
+
+# %%
+import sys
+
+sys.path.insert(0, str(Path(__file__).parent))
+import _perf_figures as pf
+
+pf.all_figures(df, OUT, sfx="")
+for name, table in pf.per_iteration_tables(df).items():
+    print(f"--- per-iteration summary ({name}) ---")
+    print(table.to_string(index=False))

@@ -95,6 +95,17 @@ def load() -> Optional[ctypes.CDLL]:
             dp,                           # rnorm history (may be null)
         ]
         lib.csr_gmres_ilu.restype = ctypes.c_int64
+        lib.csr_gs_sweeps.argtypes = [
+            ctypes.c_int64,               # n
+            i64p, i64p, dp,               # A csr
+            dp,                           # b
+            dp,                           # x (in/out)
+            ctypes.c_double,              # rtol
+            ctypes.c_double,              # atol
+            ctypes.c_double,              # stol
+            ctypes.c_int64,               # max_it
+        ]
+        lib.csr_gs_sweeps.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None

@@ -582,9 +582,34 @@ def host_gs_sweeps(
 ) -> int:
     """Sequential pointwise Gauss-Seidel sweep count with
     SNESConvergedDefault-style stopping: ||F|| <= max(rtol*||F0||, atol) or
-    ||dx|| < stol*||x|| (PETSc snes_stol, default 1e-8)."""
+    ||dx|| < stol*||x|| (PETSc snes_stol, default 1e-8).
+
+    Dispatches to the native kernel (``csrc/csr_solver.cpp::csr_gs_sweeps``)
+    when available — the sweep is inherently sequential, and the pure-Python
+    fallback below is impractical beyond ~10k DoF."""
+    import ctypes
+
+    from perphil_tpu import _native
+
     A = A.tocsr()
     A.sort_indices()
+    lib = _native.load()
+    if lib is not None:
+        indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+        data = np.ascontiguousarray(A.data, dtype=np.float64)
+        bb = np.ascontiguousarray(b, dtype=np.float64)
+        x = np.ascontiguousarray(x0, dtype=np.float64).copy()
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        return int(
+            lib.csr_gs_sweeps(
+                A.shape[0],
+                indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i64p),
+                data.ctypes.data_as(dp), bb.ctypes.data_as(dp),
+                x.ctypes.data_as(dp), rtol, atol, stol, max_it,
+            )
+        )
     n = A.shape[0]
     indptr, indices, data = A.indptr, A.indices, A.data
     diag = A.diagonal()

@@ -78,3 +78,30 @@ def test_csr_gmres_history_matches_final_norm():
     assert hist is not None and len(hist) == its + 1
     assert hist[-1] == pytest.approx(rnorm)
     assert (np.diff(np.log(hist)) < 0).mean() > 0.8  # essentially monotone
+
+
+def test_csr_gs_sweeps_matches_python():
+    """csr_gs_sweeps (csrc/csr_solver.cpp) must return the identical sweep
+    count as ops/ordering.py::host_gs_sweeps' pure-Python loop (same
+    SNESConvergedDefault stopping, same sweep order)."""
+    if _native.load() is None:
+        pytest.skip("no native toolchain")
+    from perphil_tpu.ops import ordering as od
+
+    mesh = create_mesh(5, 4)
+    params = DPPParameters()
+    sysm = build_monolithic_system(mesh, params)
+    A = od.to_csr(sysm).tocsr()
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(A.shape[0])
+    x0 = np.zeros(A.shape[0])
+
+    its_native = od.host_gs_sweeps(A, b, x0.copy())
+
+    saved = (_native._lib, _native._tried)
+    try:
+        _native._lib, _native._tried = None, True  # force the Python path
+        its_py = od.host_gs_sweeps(A, b, x0.copy())
+    finally:
+        _native._lib, _native._tried = saved
+    assert its_native == its_py
