@@ -13,6 +13,12 @@
 import os
 from pathlib import Path
 
+if os.environ.get("PERPHIL_CPU"):
+    # escape hatch for TPU-tunnel outages: the study is small enough for CPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -61,11 +67,82 @@ for name, cfg in [
     print(rows[-1])
 
 # %% [markdown]
+# ## Field plots and midline slices (monolithic solution vs exact)
+#
+# The reference's field-visualization sections
+# (`conforming-galerkin-fem-operator-splitting-2D-perphil.py:94-153`):
+# p1/p2 tripcolor fields, Darcy-velocity quivers, and the x=0.5 slice
+# compared with the exact solution.
+
+# %%
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+from perphil_tpu.utils.plotting import plot_scalar_field, plot_vector_field
+from perphil_tpu.utils.postprocessing import (
+    calculate_darcy_velocity_from_pressure,
+    slice_along_x,
+    split_dpp_solution,
+)
+
+sol_mono = solve_dpp(W, params, bcs, solver_parameters=sp.LINEAR_SOLVER_PARAMS)
+p1_mono, p2_mono = split_dpp_solution(sol_mono.solution)
+u1_mono = calculate_darcy_velocity_from_pressure(p1_mono, params.k1)
+u2_mono = calculate_darcy_velocity_from_pressure(p2_mono, params.k2)
+
+for fld, title, fname in [
+    (p1_mono, r"$p_1$ scalar field", "p1_field.png"),
+    (p2_mono, r"$p_2$ scalar field", "p2_field.png"),
+]:
+    ax = plot_scalar_field(fld, title=title)
+    ax.figure.savefig(OUT / fname, dpi=150)
+    plt.close(ax.figure)
+for fld, title, fname in [
+    (u1_mono, r"$u_1$ vector field", "u1_field.png"),
+    (u2_mono, r"$u_2$ vector field", "u2_field.png"),
+]:
+    ax = plot_vector_field(fld, title=title)
+    ax.figure.savefig(OUT / fname, dpi=150)
+    plt.close(ax.figure)
+
+# %%
+x_mid = 0.5
+ys, p1_line = slice_along_x(p1_mono, x_value=x_mid)
+_, p2_line = slice_along_x(p2_mono, x_value=x_mid)
+# the exact expressions are plain callables — evaluate them on the slice
+p1e_line = np.asarray(p1e(np.full_like(ys, x_mid), ys))
+p2e_line = np.asarray(p2e(np.full_like(ys, x_mid), ys))
+
+fig, axs = plt.subplots(1, 2, figsize=(11, 4.2))
+for ax, (num, ex, lab) in zip(
+    axs, [(p1_line, p1e_line, "p_1"), (p2_line, p2e_line, "p_2")]
+):
+    ax.plot(ys, ex, lw=4, c="k", label="Exact Solution")
+    ax.plot(ys, num, "o--", ms=4, label="Monolithic FEM")
+    ax.set_xlabel("y")
+    ax.set_ylabel(rf"${lab}(x={x_mid}, y)$")
+    ax.grid(alpha=0.3)
+    ax.legend()
+fig.tight_layout()
+fig.savefig(OUT / "midline_slices.png", dpi=150)
+plt.close(fig)
+print("wrote field + slice figures ->", OUT)
+
+# %% [markdown]
 # ## Picard variants
+#
+# All the reference's fixed-point drivers: pointwise NGS (inner LU), the
+# inner-GMRES and inner-GMRES+ILU variants
+# (`...-perphil.py:359-416`), block Gauss-Seidel (fixed-stress), and
+# damped nonlinear Richardson.
 
 # %%
 for name, cfg in [
     ("picard-ngs (pointwise GS)", sp.PICARD_LU_SOLVER_PARAMS),
+    ("picard-gmres (inner GMRES)", sp.PICARD_GMRES_SOLVER_PARAMS),
+    ("picard-gmres-ilu (inner GMRES+ILU)", sp.PICARD_GMRES_ILU_SOLVER_PARAMS),
     ("picard-block-gs (fixed-stress)", {**sp.PICARD_LU_SOLVER_PARAMS, "snes_type": "block_gs"}),
     ("picard-nrichardson (damped 0.5)", sp.RICHARDSON_SOLVER_PARAMS),
 ]:

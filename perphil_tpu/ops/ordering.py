@@ -549,7 +549,8 @@ def colored_ngs_sweeps(
     PETSc's coloring is randomized (drand48 weights, ``drand48_weights``)
     and the reference CSVs do not record the draw; re-draws with faithful
     weight/pattern variants bracket the published Picard counts within
-    ~8% (see ``experiments/ordering_study.py`` and
+    ~10% at small N and within 1.2% at N=128
+    (see ``experiments/ordering_study.py`` and
     ``results-conforming-2d/ordering/ngs_coloring.csv``).
     """
     A = A.tocsr()

@@ -17,6 +17,7 @@ def test_run_one_3d_schema():
     assert row["e1_L2"] > 0 and row["e2_L2"] > row["e1_L2"]
 
 
+@pytest.mark.slow
 @pytest.mark.regression
 def test_3d_hex_l2_convergence_order():
     params = DPPParameters()

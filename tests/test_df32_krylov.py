@@ -54,9 +54,11 @@ def test_df_basis_ops_match_f64():
     [
         ("PLAIN_GMRES", 4, 10),
         ("GMRES_ILU", 4, 5),
-        ("GMRES_ILU", 16, 11),
-        ("SS_GMRES", 8, 4),
-        ("SS_GMRES_ILU", 8, 4),
+        # the larger/fieldsplit cases dominate the fast suite's wall time;
+        # they stay in CI via PERPHIL_RUN_SLOW=1
+        pytest.param("GMRES_ILU", 16, 11, marks=pytest.mark.slow),
+        pytest.param("SS_GMRES", 8, 4, marks=pytest.mark.slow),
+        pytest.param("SS_GMRES_ILU", 8, 4, marks=pytest.mark.slow),
     ],
 )
 def test_df32_gmres_count_parity(approach, N, want, monkeypatch):

@@ -49,7 +49,8 @@ def test_padded_operator_matches_unpadded():
 @pytest.mark.parametrize(
     "cfg",
     [sp.LINEAR_SOLVER_PARAMS, sp.PLAIN_GMRES_PARAMS,
-     {**sp.GMRES_PARAMS, **sp.FIELDSPLIT_LU_PARAMS}, sp.GMRES_ILU_PARAMS],
+     {**sp.GMRES_PARAMS, **sp.FIELDSPLIT_LU_PARAMS},
+     pytest.param(sp.GMRES_ILU_PARAMS, marks=pytest.mark.slow)],
     ids=["direct", "gmres", "fieldsplit", "ilu"],
 )
 def test_padded_solver_matches_unpadded(cfg):

@@ -116,6 +116,7 @@ def test_degree2_sharded_rejects_padding_clearly():
         sharded_solve_dpp(W, params, bcs, dm, {"ksp_type": "preonly", "pc_type": "lu"})
 
 
+@pytest.mark.slow
 @needs_8
 def test_sharded_gmres_ilu_matches_single_device():
     """GMRES + structured ILU(0) under GSPMD: the wavefront/scan-tree

@@ -99,6 +99,7 @@ def test_p2_2d_convergence_order():
     assert 3.0 < herrs[1] / herrs[2] < 5.0
 
 
+@pytest.mark.slow
 def test_p2_3d_direct_and_gmres_agree():
     mesh = create_cube_mesh(3, 3, 3, hexahedral=False)
     W = mixed_space(FunctionSpace(mesh, degree=2))
