@@ -8,8 +8,13 @@
 //
 // Semantics mirror perphil_tpu/ops/ordering.py::host_ilu0 / host_gmres
 // (themselves PETSc KSPGMRES/KSPConvergedDefault-faithful): left
-// preconditioning, classical Gram-Schmidt (one pass), preconditioned
+// preconditioning, classical Gram-Schmidt (one fused pass), preconditioned
 // residual norm, tol = max(rtol*||M^-1 r0||, atol).
+//
+// Every kernel is templated on the CSR index type and exported for both
+// int64 (the original ABI) and int32 (PETSc's default PetscInt — 33% less
+// index traffic in the memory-bound SpMV/trisolve, the main single-core
+// cost at the reference's largest sizes).
 
 #include <cmath>
 #include <cstdint>
@@ -23,13 +28,13 @@
 namespace {
 
 // y = A x  (CSR)
-void spmv(int64_t n, const int64_t* indptr, const int64_t* indices,
-          const double* data, const double* x, double* y) {
+template <typename I>
+void spmv(int64_t n, const I* indptr, const I* indices, const double* data,
+          const double* x, double* y) {
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     double s = 0.0;
-    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
-      s += data[k] * x[indices[k]];
+    for (I k = indptr[i]; k < indptr[i + 1]; ++k) s += data[k] * x[indices[k]];
     y[i] = s;
   }
 }
@@ -45,79 +50,76 @@ double nrm2(int64_t n, const double* a) { return std::sqrt(dot(n, a, a)); }
 
 // z = U^-1 L^-1 r over the combined factor F (unit lower implied, diag[] is
 // the index of the diagonal entry in each row).
-void ilu_apply(int64_t n, const int64_t* indptr, const int64_t* indices,
-               const double* data, const int64_t* diag, const double* r,
-               double* z, double* y) {
+template <typename I>
+void ilu_apply(int64_t n, const I* indptr, const I* indices,
+               const double* data, const I* diag, const double* r, double* z,
+               double* y) {
   for (int64_t i = 0; i < n; ++i) {
     double s = r[i];
-    for (int64_t k = indptr[i]; k < diag[i]; ++k) s -= data[k] * y[indices[k]];
+    for (I k = indptr[i]; k < diag[i]; ++k) s -= data[k] * y[indices[k]];
     y[i] = s;
   }
   for (int64_t i = n - 1; i >= 0; --i) {
     double s = y[i];
-    for (int64_t k = diag[i] + 1; k < indptr[i + 1]; ++k)
+    for (I k = diag[i] + 1; k < indptr[i + 1]; ++k)
       s -= data[k] * z[indices[k]];
     z[i] = s / data[diag[i]];
   }
 }
 
-}  // namespace
-
-extern "C" {
-
 // In-place IKJ ILU(0) on the stored CSR pattern (explicit zeros kept, like
 // PETSc aij). indices must be sorted within each row. diag_out[i] receives
 // the data-index of the diagonal entry of row i. Returns 0, or 1 on a
 // zero/missing pivot.
-int64_t csr_ilu0_factorize(int64_t n, const int64_t* indptr,
-                           const int64_t* indices, double* data,
-                           int64_t* diag_out) {
+template <typename I>
+int64_t ilu0_factorize_csr(int64_t n, const I* indptr, const I* indices,
+                           double* data, I* diag_out) {
   // column -> position scratch for the current row
-  std::vector<int64_t> pos(n, -1);
+  std::vector<I> pos(n, I(-1));
   for (int64_t i = 0; i < n; ++i) {
-    diag_out[i] = -1;
-    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
-      if (indices[k] == i) {
+    diag_out[i] = I(-1);
+    for (I k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (indices[k] == I(i)) {
         diag_out[i] = k;
         break;
       }
     if (diag_out[i] < 0) return 1;
   }
   for (int64_t i = 0; i < n; ++i) {
-    const int64_t s = indptr[i], e = indptr[i + 1];
-    for (int64_t k = s; k < e; ++k) pos[indices[k]] = k;
-    for (int64_t kk = s; kk < diag_out[i]; ++kk) {
-      const int64_t kcol = indices[kk];
+    const I s = indptr[i], e = indptr[i + 1];
+    for (I k = s; k < e; ++k) pos[indices[k]] = k;
+    for (I kk = s; kk < diag_out[i]; ++kk) {
+      const I kcol = indices[kk];
       const double piv = data[diag_out[kcol]];
       if (piv == 0.0) {
-        for (int64_t k = s; k < e; ++k) pos[indices[k]] = -1;
+        for (I k = s; k < e; ++k) pos[indices[k]] = I(-1);
         return 1;
       }
       const double f = data[kk] / piv;
       data[kk] = f;
-      for (int64_t uk = diag_out[kcol] + 1; uk < indptr[kcol + 1]; ++uk) {
-        const int64_t p = pos[indices[uk]];
+      for (I uk = diag_out[kcol] + 1; uk < indptr[kcol + 1]; ++uk) {
+        const I p = pos[indices[uk]];
         if (p >= 0) data[p] -= f * data[uk];
       }
     }
-    for (int64_t k = s; k < e; ++k) pos[indices[k]] = -1;
+    for (I k = s; k < e; ++k) pos[indices[k]] = I(-1);
   }
   return 0;
 }
 
 // Left-preconditioned GMRES(restart) on A x = b from x = 0, PC = ILU(0)
-// factors F (pass factor_indptr == nullptr for unpreconditioned).
-// Writes the solution into x (length n), returns the iteration count.
-// *rnorm_out receives the final preconditioned residual norm. hist (may be
-// null, length >= max_it + 1) receives the preconditioned residual norm
+// factors F (pass f_indptr == nullptr for unpreconditioned). Writes the
+// solution into x (length n), returns the iteration count. *rnorm_out
+// receives the final preconditioned residual norm. hist (may be null,
+// length >= max_it + 1) receives the preconditioned residual norm
 // trajectory: hist[0] = ||M^-1 r0||, hist[k] = recurrence norm after
 // iteration k — the numbers KSPMonitorResidual would print.
-int64_t csr_gmres_ilu(int64_t n, const int64_t* a_indptr,
-                      const int64_t* a_indices, const double* a_data,
-                      const int64_t* f_indptr, const int64_t* f_indices,
-                      const double* f_data, const int64_t* f_diag,
-                      const double* b, double rtol, double atol,
-                      int64_t restart, int64_t max_it, double* x,
+template <typename I>
+int64_t gmres_ilu_csr(int64_t n, const I* a_indptr, const I* a_indices,
+                      const double* a_data, const I* f_indptr,
+                      const I* f_indices, const double* f_data,
+                      const I* f_diag, const double* b, double rtol,
+                      double atol, int64_t restart, int64_t max_it, double* x,
                       double* rnorm_out, double* hist) {
   const bool pc = f_indptr != nullptr;
   std::vector<double> r(n), w(n), tmp(n), ytmp(n);
@@ -162,7 +164,19 @@ int64_t csr_gmres_ilu(int64_t n, const int64_t* a_indptr,
       spmv(n, a_indptr, a_indices, a_data, &V[k * n], tmp.data());
       precond(tmp.data(), w.data());
       // classical Gram-Schmidt, one pass (PETSc KSPGMRESClassicalGramSchmidt)
-      for (int64_t i = 0; i <= k; ++i) h[i] = dot(n, &V[i * n], w.data());
+      // — all k+1 dots fused into a single sweep over the basis (PETSc's
+      // VecMDot): w is read once instead of k+1 times. Each h[i] still
+      // accumulates in ascending-j order, so single-thread results are
+      // bit-identical to separate dots.
+      for (int64_t i = 0; i <= k; ++i) h[i] = 0.0;
+      {
+        double* hh = h.data();
+#pragma omp parallel for reduction(+ : hh[ : k + 1]) schedule(static)
+        for (int64_t j = 0; j < n; ++j) {
+          const double wj = w[j];
+          for (int64_t i = 0; i <= k; ++i) hh[i] += V[i * n + j] * wj;
+        }
+      }
 #pragma omp parallel for schedule(static)
       for (int64_t j = 0; j < n; ++j) {
         double s = w[j];
@@ -173,7 +187,8 @@ int64_t csr_gmres_ilu(int64_t n, const int64_t* a_indptr,
       for (int64_t i = 0; i <= k; ++i) H[i * restart + k] = h[i];
       // Givens rotations
       for (int64_t i = 0; i < k; ++i) {
-        const double t = cs[i] * H[i * restart + k] + sn[i] * H[(i + 1) * restart + k];
+        const double t =
+            cs[i] * H[i * restart + k] + sn[i] * H[(i + 1) * restart + k];
         H[(i + 1) * restart + k] =
             -sn[i] * H[i * restart + k] + cs[i] * H[(i + 1) * restart + k];
         H[i * restart + k] = t;
@@ -218,15 +233,15 @@ int64_t csr_gmres_ilu(int64_t n, const int64_t* a_indptr,
 // ||x - x_prev|| < stol * ||x|| (PETSc snes_stol). Returns the sweep
 // count. The role of SNES 'ngs' on one rank (lexicographic order); the
 // numpy fallback is ops/ordering.py::host_gs_sweeps.
-int64_t csr_gs_sweeps(int64_t n, const int64_t* indptr,
-                      const int64_t* indices, const double* data,
-                      const double* b, double* x, double rtol, double atol,
-                      double stol, int64_t max_it) {
+template <typename I>
+int64_t gs_sweeps_csr(int64_t n, const I* indptr, const I* indices,
+                      const double* data, const double* b, double* x,
+                      double rtol, double atol, double stol, int64_t max_it) {
   std::vector<double> diag(n), r(n), prev(n);
   for (int64_t i = 0; i < n; ++i) {
     diag[i] = 0.0;
-    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
-      if (indices[k] == i) {
+    for (I k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (indices[k] == I(i)) {
         diag[i] = data[k];
         break;
       }
@@ -242,9 +257,9 @@ int64_t csr_gs_sweeps(int64_t n, const int64_t* indptr,
     std::memcpy(prev.data(), x, sizeof(double) * n);
     for (int64_t i = 0; i < n; ++i) {
       double s = b[i];
-      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
-        const int64_t j = indices[k];
-        if (j != i) s -= data[k] * x[j];
+      for (I k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const I j = indices[k];
+        if (j != I(i)) s -= data[k] * x[j];
       }
       x[i] = s / diag[i];
     }
@@ -263,6 +278,62 @@ int64_t csr_gs_sweeps(int64_t n, const int64_t* indptr,
     if (std::sqrt(ds) < stol * std::sqrt(xs)) break;
   }
   return sweeps;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t csr_ilu0_factorize(int64_t n, const int64_t* indptr,
+                           const int64_t* indices, double* data,
+                           int64_t* diag_out) {
+  return ilu0_factorize_csr(n, indptr, indices, data, diag_out);
+}
+
+int64_t csr_ilu0_factorize_i32(int64_t n, const int32_t* indptr,
+                               const int32_t* indices, double* data,
+                               int32_t* diag_out) {
+  return ilu0_factorize_csr(n, indptr, indices, data, diag_out);
+}
+
+int64_t csr_gmres_ilu(int64_t n, const int64_t* a_indptr,
+                      const int64_t* a_indices, const double* a_data,
+                      const int64_t* f_indptr, const int64_t* f_indices,
+                      const double* f_data, const int64_t* f_diag,
+                      const double* b, double rtol, double atol,
+                      int64_t restart, int64_t max_it, double* x,
+                      double* rnorm_out, double* hist) {
+  return gmres_ilu_csr(n, a_indptr, a_indices, a_data, f_indptr, f_indices,
+                       f_data, f_diag, b, rtol, atol, restart, max_it, x,
+                       rnorm_out, hist);
+}
+
+int64_t csr_gmres_ilu_i32(int64_t n, const int32_t* a_indptr,
+                          const int32_t* a_indices, const double* a_data,
+                          const int32_t* f_indptr, const int32_t* f_indices,
+                          const double* f_data, const int32_t* f_diag,
+                          const double* b, double rtol, double atol,
+                          int64_t restart, int64_t max_it, double* x,
+                          double* rnorm_out, double* hist) {
+  return gmres_ilu_csr(n, a_indptr, a_indices, a_data, f_indptr, f_indices,
+                       f_data, f_diag, b, rtol, atol, restart, max_it, x,
+                       rnorm_out, hist);
+}
+
+int64_t csr_gs_sweeps(int64_t n, const int64_t* indptr,
+                      const int64_t* indices, const double* data,
+                      const double* b, double* x, double rtol, double atol,
+                      double stol, int64_t max_it) {
+  return gs_sweeps_csr(n, indptr, indices, data, b, x, rtol, atol, stol,
+                       max_it);
+}
+
+int64_t csr_gs_sweeps_i32(int64_t n, const int32_t* indptr,
+                          const int32_t* indices, const double* data,
+                          const double* b, double* x, double rtol,
+                          double atol, double stol, int64_t max_it) {
+  return gs_sweeps_csr(n, indptr, indices, data, b, x, rtol, atol, stol,
+                       max_it);
 }
 
 }  // extern "C"

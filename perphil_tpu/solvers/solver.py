@@ -738,6 +738,14 @@ def _build_host_parity_ilu_solver(
     bmask = np.asarray(mesh.boundary_mask()).ravel().astype(bool)
     shape = op.grid_shape
 
+    # PCSetUp analogue: factor ONCE at solver build (PETSc factorizes in
+    # PCSetUp, outside KSPSolve; re-factorizing per solve would bill setup
+    # into every profiled solve window)
+    native_solve = od.native_ilu_gmres_solver(
+        Ap, rtol=rtol, atol=atol, restart=restart, max_it=max_it
+    )
+    host_factors = None if native_solve is not None else od.host_ilu0(Ap)
+
     def solve_host(g1, g2):
         b1, b2 = op.lifted_rhs(g1, g2)
         b = np.concatenate([np.asarray(b1).ravel(), np.asarray(b2).ravel()])
@@ -749,13 +757,10 @@ def _build_host_parity_ilu_solver(
         # Newton-step system A d = b - A x0 (x0 = BC lift), like the jitted
         # paths: the KSP convergence denominator is the interior-scale ||r0||
         r0p = (b - A @ x0)[perm]
-        res = od.native_ilu_gmres(
-            Ap, r0p, rtol=rtol, atol=atol, restart=restart, max_it=max_it
-        )
-        if res is not None:
-            its, dp, rnorm, _ = res
+        if native_solve is not None:
+            its, dp, rnorm = native_solve(r0p)
         else:  # no C++ toolchain: numpy fallback, same semantics
-            F, diag = od.host_ilu0(Ap)
+            F, diag = host_factors
             its, dp, rnorm = od.host_gmres(
                 lambda v: Ap @ v,
                 r0p,
