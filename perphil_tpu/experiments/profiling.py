@@ -587,7 +587,9 @@ def _solve_wall(solver, g1, g2, repeats: int):
     """
     reps = max(1, repeats)
     _solve_wall.last_chain_repeats = None
-    if not getattr(solver, "_host_chunked", False):
+    if not getattr(solver, "_host_chunked", False) and not getattr(
+        solver, "_host_only", False
+    ):
         t0 = time.perf_counter()
         out = solver(g1, g2)
         _block(out)

@@ -776,6 +776,9 @@ def _build_host_parity_ilu_solver(
         z2 = jnp.asarray(x[nv:].reshape(shape))
         return z1, z2, jnp.asarray(its), jnp.asarray(float(rnorm))
 
+    # host-level solve: the profiling harness must not attempt to jit-chain
+    # it (lax.scan would trace the numpy body)
+    solve_host._host_only = True
     return solve_host
 
 
