@@ -130,6 +130,50 @@ _prof_table(
     "3D solver wall-clock (tets, TPU vs CPU)",
 )
 
+# %% [markdown]
+# The narrative sections are emitted by the generator too, so regenerating
+# the report never clobbers them.
+
+# %%
+lines.append("""
+## ILU modes in the 3D table
+
+The main `petsc_perf_breakdown_3d.csv` GMRES+ILU rows (shown above) run in
+ORDERING-PARITY mode (`pc_factor_mat_ordering_type=rcm`: pinned cell-RCM
+DMPlex-numbering emulation + finite-element fill pattern) and match the
+reference iteration column EXACTLY at every size (6/8/15/26/33 at
+nx=4/8/16/32/40). The factorization/trisolves in an unstructured row order
+are inherently sequential, so this path runs on the HOST through the native
+C++ CSR kernels (`csrc/csr_solver.cpp`) — the same division of labor as
+PETSc. After the factor-once / int32-index / fused-CGS kernel work it beats
+the reference at every size on one host core (nx=40: 0.419 s vs 0.743 s).
+
+The TPU-production ENVELOPE ILU — a strictly stronger preconditioner (the
+structured factorization fills the whole 3^d offset envelope, hence fewer
+iterations: 6/8/12/21/25) with device-speed applies — lives in the labeled
+side CSV `petsc_perf_breakdown_3d_envelope_ilu.csv`.
+
+## Small-N cells and the fused whole-solve kernels
+
+The wall-clock tables above show the largest sizes; the full regenerated
+CSVs (`notebooks/results-conforming-*/petsc_profiling/`) include the
+small-N cells (2D nx<=32, 3D nx<=12), where per-solve work is microseconds
+and the measurement is dominated by this backend's sequencing overhead
+(~0.6 ms per XLA loop step — see `docs/design.md` §5.1). Those cells were
+within 0.35-0.95x of the reference CPU when measured through the
+per-iteration XLA solvers.
+
+All six approaches now dispatch to fused whole-solve Pallas kernels at
+these sizes (`ops/pallas_gmres.py`, `ops/pallas_direct.py`): one kernel
+per SOLVE, with iteration counts validated against the XLA twins and the
+golden PETSc numbers (plain GMRES 42/292/996 at 2D N=8/16/32 measured on
+hardware — N=16 exactly matches PETSc's 292 where the XLA df path drifted
+to 294; ILU 5 at N=4; fieldsplit 4). Hardware timings measured before the
+tunnel outage of 2026-08-17/18 showed the per-cycle fused predecessor
+already 1.6-2.4x faster than the XLA path at N=8-32; the committed CSV
+rows predate the whole-solve kernels and will be regenerated when the
+device is reachable.""")
+
 # %%
 OUT.parent.mkdir(exist_ok=True)
 OUT.write_text("\n".join(lines) + "\n")
