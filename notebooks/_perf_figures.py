@@ -52,7 +52,7 @@ APPROACH_ORDER = [
 ]
 _CMAP = plt.get_cmap("tab10")
 APPROACH_COLORS: Dict[str, tuple] = {a: _CMAP(i) for i, a in enumerate(APPROACH_ORDER)}
-_MARKERS = {a: m for a, m in zip(APPROACH_ORDER, ["o", "s", "^", "D", "P", "X"])}
+_MARKERS = {a: m for a, m in zip(APPROACH_ORDER, ["o", "s", "^", "D", "P", "X", "v"])}
 
 
 def _approaches_in(df: pd.DataFrame) -> List[str]:
@@ -177,12 +177,20 @@ def breakdown_bars(df: pd.DataFrame, out_dir: Path, sfx: str = "",
     nx, dft = _gmres_at(df, nx)
     if dft is None or dft.empty:
         return
-    comp = pd.DataFrame({
-        "KSPSolve": _col(dft, "time_KSPSolve"),
-        "PCSetUp": _col(dft, "time_PCSetUp"),
-        "Assembly": _assembly_time(dft),
-    })
-    comp["Other"] = (_col(dft, "time_total") - comp.sum(axis=1)).clip(lower=0.0)
+    # cap every component into the remaining wall (PCSetUp is one-time
+    # setup incl. XLA compile — often >> per-solve wall; uncapped it would
+    # dwarf the stack, see normalize_per_solve)
+    tot = _col(dft, "time_total")
+    rem = tot.copy()
+    comp = {}
+    for label, v in [("KSPSolve", _col(dft, "time_KSPSolve")),
+                     ("PCSetUp", _col(dft, "time_PCSetUp")),
+                     ("Assembly", _assembly_time(dft))]:
+        w = pd.concat([v, rem], axis=1).min(axis=1)
+        comp[label] = w
+        rem = (rem - w).clip(lower=0.0)
+    comp = pd.DataFrame(comp)
+    comp["Other"] = rem
     comp.index = dft["approach"].astype(str).values
     for absolute in (False, True):
         data = comp if absolute else comp.div(_col(dft, "time_total").values, axis=0)

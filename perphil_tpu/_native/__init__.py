@@ -134,6 +134,8 @@ def load() -> Optional[ctypes.CDLL]:
         ]
         lib.csr_gs_sweeps_i32.restype = ctypes.c_int64
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: an ABI-stale .so (mtime newer than sources but
+        # missing newer symbols) must degrade to the numpy paths, not crash
         _lib = None
     return _lib

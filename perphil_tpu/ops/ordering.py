@@ -520,22 +520,22 @@ def native_ilu_gmres_solver(
     A = A.tocsr().copy()
     A.sort_indices()
     n = A.shape[0]
-    ai = A.indptr.astype(np.int64)
-    aj = A.indices.astype(np.int64)
+    if A.nnz >= 2**31 or n >= 2**31:
+        # int32 indices would wrap; the published sizes never get here, but
+        # fall back to the factorize-per-call int64 path rather than corrupt
+        return lambda b: native_ilu_gmres(
+            A, b, rtol=rtol, atol=atol, restart=restart, max_it=max_it
+        )[:3]
     av = np.ascontiguousarray(A.data, dtype=np.float64)
-    i64p = ctypes.POINTER(ctypes.c_int64)
     dp = ctypes.POINTER(ctypes.c_double)
-
-    def _i(a):
-        return a.ctypes.data_as(i64p)
 
     def _d(a):
         return a.ctypes.data_as(dp)
 
-    # int32 indices (n and nnz are far below 2^31 at every published size):
-    # 33% less index traffic in the memory-bound SpMV/trisolve
-    ai32 = ai.astype(np.int32)
-    aj32 = aj.astype(np.int32)
+    # int32 indices (PETSc's default PetscInt): 33% less index traffic in
+    # the memory-bound SpMV/trisolve
+    ai32 = A.indptr.astype(np.int32)
+    aj32 = A.indices.astype(np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
 
     def _i32(a):

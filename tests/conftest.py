@@ -37,7 +37,12 @@ def pytest_collection_modifyitems(config, items):
     or when the user's -m expression names `slow` explicitly."""
     if os.environ.get("PERPHIL_RUN_SLOW"):
         return
-    if "slow" in (config.getoption("-m") or ""):
+    expr = config.getoption("-m") or ""
+    if "slow" in expr:
+        return
+    if "regression" in expr:
+        # `pytest -m regression` is the documented golden-parity suite — it
+        # must run its slow members (e.g. the 3D hex EOC check) in full
         return
     skip = pytest.mark.skip(
         reason="slow test (set PERPHIL_RUN_SLOW=1 or -m slow to run)"
