@@ -78,6 +78,8 @@ def notebooks(args):
     if args.rest and args.rest[0] == "fast":
         env["PERPHIL_FAST"] = "1"
     for nb in sorted((ROOT / "notebooks").glob("*.py")):
+        if nb.name.startswith("_"):  # shared libraries, not studies
+            continue
         print(f"=== {nb.name}")
         subprocess.run([sys.executable, str(nb)], check=True, env=env)
 
