@@ -69,6 +69,29 @@ def bench(args):
 
 
 @task
+def tpu_artifacts(args):
+    """Post-outage TPU runbook: everything that needs the real chip, in
+    order. (1) headline bench (outage-resilient probe-retry inside
+    bench.py), (2) regenerate the 2D and 3D profiling CSVs — the small-N
+    rows dispatch through the fused whole-solve Pallas kernels — then
+    (3) re-render every figure and the benchmark report from the fresh
+    CSVs. Pass `fast` to sweep the small sizes only (the cells the fused
+    kernels target)."""
+    import os
+
+    _run([sys.executable, "bench.py"])
+    env = {**os.environ}
+    if args.rest and args.rest[0] == "fast":
+        env["PERPHIL_FAST"] = "1"
+    for nb in ("profiling-time-benchmarks.py", "profiling-time-benchmarks-3d.py"):
+        _run([sys.executable, str(ROOT / "notebooks" / nb)], env=env)
+    plots = {**os.environ, "PERPHIL_PLOTS_ONLY": "1"}
+    for nb in ("profiling-time-benchmarks.py", "profiling-time-benchmarks-3d.py"):
+        _run([sys.executable, str(ROOT / "notebooks" / nb)], env=plots)
+    _run([sys.executable, str(ROOT / "notebooks" / "compare_with_reference.py")])
+
+
+@task
 def notebooks(args):
     """Regenerate every study's CSV/PNG artifacts (PERPHIL_FAST=1 for a
     quick pass). Mirrors running the reference's six Jupytext studies."""
