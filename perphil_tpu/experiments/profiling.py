@@ -104,6 +104,25 @@ DEFAULT_LOGICAL_EVENTS: List[str] = [
 ]
 
 
+def ensure_logging() -> bool:
+    """Make sure the timing backend is usable — the role of the reference's
+    ``ensure_petsc_logging`` (``petsc_profiling.py:69-79``, which arms
+    ``PETSc.Log``). JAX needs no global log switch; what CAN be dead on this
+    host is the device itself (the tunnel outage mode, CLAUDE.md), so this
+    warms the backend with a tiny dispatch and reports liveness. Callers
+    may profile regardless — the wall backend works on any backend.
+    """
+    try:
+        jax.block_until_ready(jnp.zeros((8, 8)) + 1.0)
+        return True
+    except Exception:
+        return False
+
+
+# import-path parity alias (reference callers use the PETSc name)
+ensure_petsc_logging = ensure_logging
+
+
 def _get_rss_kb() -> float:
     """Per-process peak RSS in kB (reference ``:450-458``)."""
     return float(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
