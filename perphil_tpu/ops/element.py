@@ -57,6 +57,29 @@ def _tensor_q1(h: Tuple[float, ...]) -> Subcell:
     return verts, Ke, Me
 
 
+def simplex_geometry(
+    verts_unit: np.ndarray, h: Tuple[float, ...]
+) -> Tuple[float, np.ndarray]:
+    """Affine-simplex geometry shared by P1/P2 tabulation and quadrature:
+    returns (detE, barycentric gradients of shape (d+1, d)).
+
+    Barycentric coords satisfy lam = Einv (p - v0), so grad(lam_i) is the
+    i-th ROW of Einv (NOT Einv.T — transposing is only harmless for
+    axis-aligned simplices); grad(lam_0) = -sum of the others. One shared
+    implementation so that subtlety lives in exactly one place
+    (also used by ops/simplexfem.py and utils/quadrature.py).
+    """
+    d = verts_unit.shape[1]
+    phys = verts_unit.astype(float) * np.asarray(h)
+    E = (phys[1:] - phys[0]).T  # d x d edge matrix
+    detE = float(np.linalg.det(E))
+    Einv = np.linalg.inv(E)
+    grads = np.zeros((d + 1, d))
+    grads[1:] = Einv
+    grads[0] = -grads[1:].sum(axis=0)
+    return detE, grads
+
+
 def _simplex(verts_unit: np.ndarray, h: Tuple[float, ...]) -> Subcell:
     """P1 stiffness/mass on a simplex with the given unit-grid vertices.
 
@@ -65,17 +88,8 @@ def _simplex(verts_unit: np.ndarray, h: Tuple[float, ...]) -> Subcell:
     Ke[i,j] = |T| g_i . g_j,  Me = |T| / ((d+1)(d+2)) * (1 + I).
     """
     d = verts_unit.shape[1]
-    phys = verts_unit.astype(float) * np.asarray(h)
-    E = (phys[1:] - phys[0]).T  # d x d edge matrix
-    detE = np.linalg.det(E)
+    detE, grads = simplex_geometry(verts_unit, h)
     vol = abs(detE) / float(np.prod(np.arange(1, d + 1)))  # |det| / d!
-    # barycentric coords: lam = Einv (p - v0), so grad(lam_i) is the i-th
-    # ROW of Einv (NOT Einv.T — transposing is only harmless for
-    # axis-aligned simplices); grad(lam_0) = -sum of the others
-    Einv = np.linalg.inv(E)
-    grads = np.zeros((d + 1, d))
-    grads[1:] = Einv
-    grads[0] = -grads[1:].sum(axis=0)
     Ke = vol * grads @ grads.T
     Me = vol / ((d + 1) * (d + 2)) * (np.ones((d + 1, d + 1)) + np.eye(d + 1))
     return verts_unit.astype(np.int64), Ke, Me

@@ -42,6 +42,7 @@ from perphil_tpu.models.dpp.parameters import DPPParameters
 from perphil_tpu.ops.element import cell_subcells
 
 __all__ = [
+    "p2_dof_mesh",
     "p2_local_nodes",
     "p2_simplex_matrices",
     "p2_class_stencils",
@@ -50,6 +51,15 @@ __all__ = [
     "P2SimplexDPPOperator",
     "assemble_p2_monolithic",
 ]
+
+
+def p2_dof_mesh(mesh: StructuredMesh) -> StructuredMesh:
+    """The once-refined lattice holding the P2 DoFs — the single place the
+    refinement convention lives (also what ``forms/spaces.FunctionSpace
+    .dof_mesh`` exposes for degree 2)."""
+    from dataclasses import replace
+
+    return replace(mesh, cells=tuple(2 * c for c in mesh.cells))
 
 
 def p2_local_nodes(verts_unit: np.ndarray) -> List[np.ndarray]:
@@ -92,16 +102,12 @@ def p2_simplex_matrices(
     machine precision for the degree<=4 integrands here.
     :returns: (nodes on the doubled lattice, Ke, Me).
     """
+    from perphil_tpu.ops.element import simplex_geometry
     from perphil_tpu.utils.quadrature import _duffy, gauss_legendre_01
 
     d = verts_unit.shape[1]
-    phys = verts_unit.astype(float) * np.asarray(h)
-    E = (phys[1:] - phys[0]).T
-    detE = abs(float(np.linalg.det(E)))
-    Einv = np.linalg.inv(E)
-    grads_l = np.zeros((d + 1, d))
-    grads_l[1:] = Einv
-    grads_l[0] = -Einv.sum(axis=0)
+    detE, grads_l = simplex_geometry(verts_unit, h)
+    detE = abs(detE)
 
     nodes = p2_local_nodes(verts_unit)
     nn = len(nodes)
@@ -137,6 +143,10 @@ def _class_stencils_cached(
                 delta = tuple(int(v) + 2 for v in reversed(nb - na))
                 Kw[ca + delta] += Ke[a, b]
                 Mw[ca + delta] += Me[a, b]
+    # the cache hands out shared arrays: freeze them so an in-place edit by
+    # a caller cannot corrupt every later operator with the same key
+    Kw.setflags(write=False)
+    Mw.setflags(write=False)
     return Kw, Mw
 
 
@@ -235,18 +245,11 @@ class P2SimplexDPPOperator:
 
     @cached_property
     def dof_mesh(self) -> StructuredMesh:
-        from dataclasses import replace
-
-        return replace(self.mesh, cells=tuple(2 * c for c in self.mesh.cells))
+        return p2_dof_mesh(self.mesh)
 
     @property
     def dof_shape(self) -> Tuple[int, ...]:
         return self.dof_mesh.node_shape
-
-    # solver plumbing parity with DPPOperator
-    @property
-    def grid_shape(self) -> Tuple[int, ...]:
-        return self.dof_shape
 
     @cached_property
     def boundary_mask(self) -> np.ndarray:
@@ -256,10 +259,16 @@ class P2SimplexDPPOperator:
     def _stencils(self) -> Tuple[np.ndarray, np.ndarray]:
         return p2_class_stencils(self.mesh)
 
+    @cached_property
+    def _bdry(self) -> jnp.ndarray:
+        # device-resident mask, uploaded once (the Q1 DPPOperator caches
+        # its masks the same way in ops/assembly.py::_mask_arrays)
+        return jnp.asarray(self.boundary_mask)
+
     def matvec(self, z1: jnp.ndarray, z2: jnp.ndarray):
         p = self.params
         Kw, Mw = self._stencils
-        bdry = jnp.asarray(self.boundary_mask)
+        bdry = self._bdry
         z1i = jnp.where(bdry, 0.0, z1)
         z2i = jnp.where(bdry, 0.0, z2)
         Kz1 = apply_p2_stencil(z1i, Kw)
@@ -328,30 +337,23 @@ def _assemble_p2_scalar(mesh: StructuredMesh):
     grids = np.meshgrid(*ranges, indexing="ij")
     bases = 2 * np.stack([g.ravel() for g in grids], axis=1)  # (ncells, d)
 
-    rows_K, cols_K, vals_K = [], [], []
-    rows_M, cols_M, vals_M = [], [], []
+    rows, cols, vals_K, vals_M = [], [], [], []
     for verts, _, _ in cell_subcells(mesh.element, tuple(mesh.h), mesh.diagonal):
         nodes, Ke, Me = p2_simplex_matrices(verts, tuple(mesh.h))
         gidx = np.stack(
             [(bases + nn[None, :]) @ strides for nn in nodes], axis=1
         )  # (ncells, nn)
         nn = len(nodes)
+        # K and M share the sparsity pattern: one (rows, cols) pair serves both
         for a in range(nn):
             for b in range(nn):
-                rows_K.append(gidx[:, a])
-                cols_K.append(gidx[:, b])
+                rows.append(gidx[:, a])
+                cols.append(gidx[:, b])
                 vals_K.append(np.full(gidx.shape[0], Ke[a, b]))
-                rows_M.append(gidx[:, a])
-                cols_M.append(gidx[:, b])
                 vals_M.append(np.full(gidx.shape[0], Me[a, b]))
-    K = sp.csr_matrix(
-        (np.concatenate(vals_K), (np.concatenate(rows_K), np.concatenate(cols_K))),
-        shape=(n, n),
-    )
-    M = sp.csr_matrix(
-        (np.concatenate(vals_M), (np.concatenate(rows_M), np.concatenate(cols_M))),
-        shape=(n, n),
-    )
+    ij = (np.concatenate(rows), np.concatenate(cols))
+    K = sp.csr_matrix((np.concatenate(vals_K), ij), shape=(n, n))
+    M = sp.csr_matrix((np.concatenate(vals_M), ij), shape=(n, n))
     return K, M
 
 
@@ -360,7 +362,6 @@ def assemble_p2_monolithic(mesh: StructuredMesh, params: DPPParameters):
     the preonly+lu direct path). Same elimination convention as the Q1
     ``build_monolithic_system``: boundary rows/columns identity."""
     import scipy.sparse as sp
-    from dataclasses import replace
 
     K, M = _assemble_p2_scalar(mesh)
     p = params
@@ -369,8 +370,7 @@ def assemble_p2_monolithic(mesh: StructuredMesh, params: DPPParameters):
     C = -(p.beta / p.mu) * M
     A = sp.bmat([[A11, C], [C, A22]], format="csr")
 
-    dof_mesh = replace(mesh, cells=tuple(2 * c for c in mesh.cells))
-    bmask = np.asarray(dof_mesh.boundary_mask()).ravel().astype(bool)
+    bmask = np.asarray(p2_dof_mesh(mesh).boundary_mask()).ravel().astype(bool)
     bmask2 = np.concatenate([bmask, bmask])
     keep = sp.diags((~bmask2).astype(float))
     ident = sp.diags(bmask2.astype(float))

@@ -193,7 +193,7 @@ def _cell_quadrature_p2_cached(
     cells: Tuple[int, ...], element: str, diagonal: str, extent: Tuple[float, ...],
     degree: int,
 ) -> Tuple[QPoint, ...]:
-    from perphil_tpu.ops.element import cell_subcells
+    from perphil_tpu.ops.element import cell_subcells, simplex_geometry
     from perphil_tpu.ops.simplexfem import _p2_basis, p2_local_nodes
 
     mesh = StructuredMesh(cells=cells, element=element, diagonal=diagonal, extent=extent)
@@ -206,12 +206,8 @@ def _cell_quadrature_p2_cached(
     qpts: List[QPoint] = []
     for verts, _, _ in cell_subcells(element, h, diagonal):
         verts_phys = verts.astype(float) * np.asarray(h)
-        E = (verts_phys[1:] - verts_phys[0]).T
-        detE = abs(float(np.linalg.det(E)))
-        Einv = np.linalg.inv(E)
-        grads_l = np.zeros((d + 1, d))
-        grads_l[1:] = Einv
-        grads_l[0] = -Einv.sum(axis=0)
+        detE, grads_l = simplex_geometry(verts, h)
+        detE = abs(detE)
         nodes = p2_local_nodes(verts)
         for idx in itertools.product(range(n1), repeat=d):
             u = np.array([xq[i] for i in idx])
@@ -219,7 +215,7 @@ def _cell_quadrature_p2_cached(
             x, jac = _duffy(u)
             lam = np.concatenate([[1.0 - x.sum()], x])
             phi, grad = _p2_basis(lam, grads_l)
-            p = verts_phys[0] + E @ x
+            p = verts_phys[0] + (verts_phys[1:] - verts_phys[0]).T @ x
             qpts.append(
                 QPoint(
                     weight=w * jac * detE,
