@@ -112,7 +112,10 @@ def pair_ipynbs(args):
     """Generate paired .ipynb files from the percent-format notebook scripts
     (mirrors `inv pair-ipynbs`, reference tasks.py:1212-1241; uses jupytext
     when available, otherwise a built-in percent parser + nbformat)."""
-    scripts = sorted((ROOT / "notebooks").glob("*.py"))
+    scripts = [
+        s for s in sorted((ROOT / "notebooks").glob("*.py"))
+        if not s.name.startswith("_")  # shared libraries, not studies
+    ]
     try:
         import jupytext  # noqa: F401
 
