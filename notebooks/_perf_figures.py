@@ -204,6 +204,26 @@ def breakdown_bars(df: pd.DataFrame, out_dir: Path, sfx: str = "",
         _save(fig, out_dir / f"{name}{sfx}_nx{nx}.png")
 
 
+_KSP_COMPONENTS = [("PC apply", "time_PCApply"),
+                   ("GMRES orth", "time_KSPGMRESOrthogonalization"),
+                   ("MatMult", "time_MatMult")]
+
+
+def _capped_exclusive(dft: pd.DataFrame, budget: pd.Series,
+                      components) -> "tuple[dict, pd.Series]":
+    """Cap each (label, column) component into the remaining ``budget``
+    in order; returns (parts dict, remainder). The one shared
+    implementation behind both the wall partition and the KSP-internal
+    composition (they must attribute identically)."""
+    rem = budget.copy()
+    parts = {}
+    for label, col in components:
+        v = pd.concat([_col(dft, col), rem], axis=1).min(axis=1)
+        parts[label] = v
+        rem = (rem - v).clip(lower=0.0)
+    return parts, rem
+
+
 def _partition_wall(dft: pd.DataFrame) -> pd.DataFrame:
     """Exclusive wall-time partition: KSP internals first (PC apply, GMRES
     orth if recorded, MatMult, remainder), rescaled into time_total if the
@@ -211,14 +231,7 @@ def _partition_wall(dft: pd.DataFrame) -> pd.DataFrame:
     what's left. Rows sum to time_total by construction."""
     tot = _col(dft, "time_total")
     ksp = _col(dft, "time_KSPSolve")
-    parts = {}
-    rem = ksp.copy()
-    for label, col in [("PC apply", "time_PCApply"),
-                       ("GMRES orth", "time_KSPGMRESOrthogonalization"),
-                       ("MatMult", "time_MatMult")]:
-        v = pd.concat([_col(dft, col), rem], axis=1).min(axis=1)
-        parts[label] = v
-        rem = (rem - v).clip(lower=0.0)
+    parts, rem = _capped_exclusive(dft, ksp, _KSP_COMPONENTS)
     parts["KSP other"] = rem
     inside = sum(parts.values())
     scale = np.where((tot > 0) & (inside > tot), tot / inside.replace(0, np.nan), 1.0)
@@ -287,14 +300,7 @@ def ksp_split_bars(df: pd.DataFrame, out_dir: Path, sfx: str = "",
     _save(fig, out_dir / f"time_split_ksp_vs_outside{sfx}_nx{nx}.png")
 
     # inside-KSP exclusive composition, percent of KSPSolve
-    rem = ksp.copy()
-    kparts = {}
-    for label, col in [("PC apply", "time_PCApply"),
-                       ("GMRES orth", "time_KSPGMRESOrthogonalization"),
-                       ("MatMult", "time_MatMult")]:
-        v = pd.concat([_col(dft, col), rem], axis=1).min(axis=1)
-        kparts[label] = v
-        rem = (rem - v).clip(lower=0.0)
+    kparts, rem = _capped_exclusive(dft, ksp, _KSP_COMPONENTS)
     kparts["KSP other"] = rem
     kdf = pd.DataFrame(kparts)
     kdf.index = dft["approach"].astype(str).values

@@ -23,7 +23,11 @@ if os.environ.get("PERPHIL_PLOTS_ONLY"):
 import pandas as pd
 
 from perphil_tpu.experiments.iterative_bench import Approach
-from perphil_tpu.experiments.profiling_3d import run_perf_sweep_3d, save_perf_csv
+from perphil_tpu.experiments.profiling_3d import (
+    run_perf_sweep_3d,
+    save_perf_csv,
+    splice_perf_csv,
+)
 
 OUT = Path(__file__).parent / "results-conforming-3d" / "petsc_profiling"
 OUT.mkdir(parents=True, exist_ok=True)
@@ -62,18 +66,20 @@ else:
                 ordering_parity=True,
             )
         )
-        save_perf_csv(rows, OUT / "petsc_perf_breakdown_3d.csv")  # incremental
-    df = pd.DataFrame(rows)
+        # incremental + partial-sweep-safe (see splice_perf_csv)
+        splice_perf_csv(rows, OUT / "petsc_perf_breakdown_3d.csv")
+    # figures always render from the full (spliced) artifact
+    df = pd.read_csv(OUT / "petsc_perf_breakdown_3d.csv")
 
     env_rows = []
     for n in SIZES:
-        env_rows.extend(
-            run_perf_sweep_3d([n], approaches=[Approach.GMRES_ILU], repeats=3,
-                              backend="events")
-        )
-    for r in env_rows:
-        r["approach"] = "GMRES + ILU PC (envelope, production)"
-    save_perf_csv(env_rows, OUT / "petsc_perf_breakdown_3d_envelope_ilu.csv")
+        batch = run_perf_sweep_3d([n], approaches=[Approach.GMRES_ILU], repeats=3,
+                                  backend="events")
+        for r in batch:
+            r["approach"] = "GMRES + ILU PC (envelope, production)"
+        env_rows.extend(batch)
+        # incremental: a device fault mid-sweep keeps the completed sizes
+        splice_perf_csv(env_rows, OUT / "petsc_perf_breakdown_3d_envelope_ilu.csv")
 print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index=False))
 
 # %%

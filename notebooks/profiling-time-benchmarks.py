@@ -24,7 +24,11 @@ if os.environ.get("PERPHIL_PLOTS_ONLY"):
 import pandas as pd
 
 from perphil_tpu.experiments.iterative_bench import Approach
-from perphil_tpu.experiments.profiling import run_perf_sweep, save_perf_csv
+from perphil_tpu.experiments.profiling import (
+    run_perf_sweep,
+    save_perf_csv,
+    splice_perf_csv,
+)
 
 OUT = Path(__file__).parent / "results-conforming-2d" / "petsc_profiling"
 OUT.mkdir(parents=True, exist_ok=True)
@@ -52,8 +56,12 @@ else:
     for n in SIZES:
         for ap in APPROACHES:
             rows.extend(run_perf_sweep([n], approaches=[ap], repeats=5, backend="events"))
-            save_perf_csv(rows, OUT / "petsc_perf_breakdown.csv")  # incremental
-    df = pd.DataFrame(rows)
+            # incremental + partial-sweep-safe: measured rows replace their old
+            # versions, every other committed row survives
+            splice_perf_csv(rows, OUT / "petsc_perf_breakdown.csv")
+    # figures always render from the full (spliced) artifact, not just the
+    # sizes this run happened to sweep
+    df = pd.read_csv(OUT / "petsc_perf_breakdown.csv")
 print(df[["approach", "nx", "dofs", "iterations", "time_total"]].to_string(index=False))
 
 # %% [markdown]
@@ -65,7 +73,7 @@ if not os.environ.get("PERPHIL_PLOTS_ONLY"):
     PICARD_SIZES = [s for s in SIZES if s <= 128]
     rows_p = run_perf_sweep(PICARD_SIZES, approaches=[Approach.PICARD_MUMPS], repeats=1,
                             backend="events")
-    save_perf_csv(rows + rows_p, OUT / "petsc_perf_breakdown-with-picard.csv")
+    splice_perf_csv(rows + rows_p, OUT / "petsc_perf_breakdown-with-picard.csv")
 
 # %% [markdown]
 # ## Stacked time breakdown & memory plots

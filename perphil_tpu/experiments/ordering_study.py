@@ -239,7 +239,7 @@ def run_ngs_coloring_study(
                     dict(N=N, variant=f"colored:{weight}/{pattern}",
                          ncolors=nc, its=its, reference_its=ref)
                 )
-        print(f"[ngs-coloring] N={N}: {rows[-4:]}", flush=True)
+        print(f"[ngs-coloring] N={N}: {rows[-5:]}", flush=True)
         if out is not None:
             save_csv(rows, out)
     return rows

@@ -104,17 +104,38 @@ DEFAULT_LOGICAL_EVENTS: List[str] = [
 ]
 
 
-def ensure_logging() -> bool:
+def ensure_logging(timeout_s: float = 60.0) -> bool:
     """Make sure the timing backend is usable — the role of the reference's
     ``ensure_petsc_logging`` (``petsc_profiling.py:69-79``, which arms
     ``PETSc.Log``). JAX needs no global log switch; what CAN be dead on this
-    host is the device itself (the tunnel outage mode, CLAUDE.md), so this
-    warms the backend with a tiny dispatch and reports liveness. Callers
-    may profile regardless — the wall backend works on any backend.
+    host is the device itself (the tunnel outage mode, CLAUDE.md: a hung
+    dispatch never raises), so the probe runs in a SUBPROCESS under a
+    timeout — a hang in this process would block forever and defeat the
+    check. Callers may profile regardless — the wall backend works on any
+    backend.
     """
+    import subprocess
+    import sys
+
+    # probe the SAME backend the parent will use: propagate an explicit
+    # platform pin (e.g. tests force CPU) into the child, which otherwise
+    # initializes whatever sitecustomize configures
+    platforms = jax.config.jax_platforms or ""
+    pin = (
+        f"jax.config.update('jax_platforms', {platforms!r}); "
+        if platforms
+        else ""
+    )
     try:
-        jax.block_until_ready(jnp.zeros((8, 8)) + 1.0)
-        return True
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             + pin
+             + "jax.block_until_ready(jnp.zeros((8, 8)) + 1.0); "
+             "print('PROBE_OK')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "PROBE_OK" in r.stdout
     except Exception:
         return False
 
@@ -894,6 +915,42 @@ def save_perf_csv(rows: List[Dict[str, Any]], path) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     pd.DataFrame(rows).to_csv(path, index=False)
+
+
+def splice_perf_csv(rows: List[Dict[str, Any]], path) -> None:
+    """Merge ``rows`` into an existing profiling CSV on (approach, nx):
+    measured rows replace their old versions, every other committed row
+    survives. This is how partial sweeps (PERPHIL_FAST, a single approach,
+    a post-outage small-N regen) update the headline artifacts without
+    silently truncating them to the sizes that happened to be re-run.
+    Falls back to a plain write when the file doesn't exist yet.
+    """
+    import pandas as pd
+
+    path = Path(path)
+    new = pd.DataFrame(rows)
+    if not path.exists() or new.empty:
+        save_perf_csv(rows, path)
+        return
+    old = pd.read_csv(path)
+    keys = list(zip(new["approach"].astype(str), new["nx"].astype(int)))
+    keyset = set(keys)
+    keep = old[
+        ~old.apply(
+            lambda r: (str(r["approach"]), int(r["nx"])) in keyset, axis=1
+        )
+    ]
+    # align columns: new rows may lack columns present in the old file
+    for c in old.columns:
+        if c not in new.columns:
+            new[c] = ""
+    new = new[[c for c in old.columns if c in new.columns]]
+    merged = pd.concat([keep, new], ignore_index=True)
+    merged = merged.sort_values(
+        ["nx", "approach"], kind="stable"
+    ).reset_index(drop=True)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    merged.to_csv(path, index=False)
 
 
 def save_perf_json(rows: List[Dict[str, Any]], path) -> None:

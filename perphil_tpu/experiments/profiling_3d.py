@@ -27,6 +27,7 @@ from perphil_tpu.experiments.profiling import (
     _matrix_info,
     _profile_with_events,
     save_perf_csv,
+    splice_perf_csv,
     save_perf_json,
 )
 from perphil_tpu.forms.spaces import create_function_spaces, mixed_space
@@ -176,5 +177,6 @@ __all__ = [
     "run_perf_once_3d",
     "run_perf_sweep_3d",
     "save_perf_csv",
+    "splice_perf_csv",
     "save_perf_json",
 ]

@@ -54,9 +54,11 @@ __all__ = [
 
 
 def p2_dof_mesh(mesh: StructuredMesh) -> StructuredMesh:
-    """The once-refined lattice holding the P2 DoFs — the single place the
-    refinement convention lives (also what ``forms/spaces.FunctionSpace
-    .dof_mesh`` exposes for degree 2)."""
+    """The once-refined lattice holding the P2 DoFs — the degree-2 case of
+    the general convention in ``forms/spaces.FunctionSpace.dof_mesh``
+    (``replace(mesh, cells=degree*cells)``); kept here so ``ops`` does not
+    import ``forms``, with the agreement pinned by
+    ``tests/test_simplexfem.py::test_dof_mesh_matches_function_space``."""
     from dataclasses import replace
 
     return replace(mesh, cells=tuple(2 * c for c in mesh.cells))

@@ -73,10 +73,12 @@ def tpu_artifacts(args):
     """Post-outage TPU runbook: everything that needs the real chip, in
     order. (1) headline bench (outage-resilient probe-retry inside
     bench.py), (2) regenerate the 2D and 3D profiling CSVs — the small-N
-    rows dispatch through the fused whole-solve Pallas kernels — then
-    (3) re-render every figure and the benchmark report from the fresh
-    CSVs. Pass `fast` to sweep the small sizes only (the cells the fused
-    kernels target)."""
+    rows dispatch through the fused whole-solve Pallas kernels, and the
+    figure set re-renders inside the same notebook run — then (3) rebuild
+    the benchmark report. Pass `fast` to sweep the small sizes only (the
+    cells the fused kernels target): partial sweeps SPLICE into the
+    committed CSVs (measured rows replace their old versions, the rest
+    survive — splice_perf_csv), so `fast` never truncates the artifacts."""
     import os
 
     _run([sys.executable, "bench.py"])
@@ -85,9 +87,6 @@ def tpu_artifacts(args):
         env["PERPHIL_FAST"] = "1"
     for nb in ("profiling-time-benchmarks.py", "profiling-time-benchmarks-3d.py"):
         _run([sys.executable, str(ROOT / "notebooks" / nb)], env=env)
-    plots = {**os.environ, "PERPHIL_PLOTS_ONLY": "1"}
-    for nb in ("profiling-time-benchmarks.py", "profiling-time-benchmarks-3d.py"):
-        _run([sys.executable, str(ROOT / "notebooks" / nb)], env=plots)
     _run([sys.executable, str(ROOT / "notebooks" / "compare_with_reference.py")])
 
 

@@ -37,10 +37,20 @@ def pytest_collection_modifyitems(config, items):
     or when the user's -m expression names `slow` explicitly."""
     if os.environ.get("PERPHIL_RUN_SLOW"):
         return
+    import re
+
     expr = config.getoption("-m") or ""
-    if "slow" in expr:
+
+    def _positively_selects(marker: str) -> bool:
+        # word-boundary match NOT preceded by `not` — `-m "not regression"`
+        # must not disable the slow-skip (substring matching did)
+        return bool(re.search(rf"\b{marker}\b", expr)) and not re.search(
+            rf"\bnot\s+{marker}\b", expr
+        )
+
+    if _positively_selects("slow"):
         return
-    if "regression" in expr:
+    if _positively_selects("regression"):
         # `pytest -m regression` is the documented golden-parity suite — it
         # must run its slow members (e.g. the 3D hex EOC check) in full
         return

@@ -5,8 +5,6 @@ import jax.numpy as jnp
 import pytest
 
 from perphil_tpu.ops.partri import (
-
-
     AffineChainScan,
     GridTriSolve2D,
     GridTriSolve3D,

@@ -8,8 +8,6 @@ from perphil_tpu.mesh.structured import StructuredMesh
 from perphil_tpu.models.dpp.parameters import DPPParameters
 from perphil_tpu.ops import ilu as ilu_mod
 from perphil_tpu.ops.ilu import (
-
-
     GaussSeidelSweeper,
     PartriGS,
     PartriILU,

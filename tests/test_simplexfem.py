@@ -132,3 +132,15 @@ def test_degree3_simplex_rejected():
     mesh = create_mesh(4, 4, quadrilateral=False)
     with pytest.raises(ValueError, match="[Dd]egree"):
         FunctionSpace(mesh, degree=3)
+
+
+def test_dof_mesh_matches_function_space():
+    # the P2 lattice convention must agree with the general degree-p one in
+    # forms/spaces.FunctionSpace.dof_mesh (p2_dof_mesh exists only so ops
+    # does not import forms)
+    from perphil_tpu.forms.spaces import FunctionSpace
+    from perphil_tpu.ops.simplexfem import p2_dof_mesh
+
+    for mesh in (create_mesh(3, 4, quadrilateral=False),
+                 create_cube_mesh(2, 3, 2, hexahedral=False)):
+        assert p2_dof_mesh(mesh) == FunctionSpace(mesh, degree=2).dof_mesh
