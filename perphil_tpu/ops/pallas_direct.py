@@ -34,6 +34,7 @@ from perphil_tpu.ops.df32 import df_add, df_sub
 from perphil_tpu.ops.pallas_gmres import (
     _HAS_PLTPU,
     _geometry,
+    _overlay_block,
     build_packed_matvec,
     pltpu,
 )
@@ -168,8 +169,7 @@ def _build_direct(op, refinements: int = 5):
         out = jnp.zeros((Rp, Wp), jnp.float32)
         for f, zb in ((0, z1), (1, z2)):
             for i, p in enumerate(zplanes):
-                r0 = geo._base_row(f, p) + 1
-                out = jax.lax.dynamic_update_slice(out, zb[i], (r0, 2))
+                out = _overlay_block(out, zb[i], geo._base_row(f, p) + 1, 2)
         return out
 
     def kernel(bh_ref, bl_ref, im_ref, bm_ref, fm_ref,
@@ -353,9 +353,7 @@ def _build_simplicial_pcg(op, rtol: float, max_it: int):
                 for b in t
             ]
             for i, q in enumerate(zplanes):
-                out = jax.lax.dynamic_update_slice(
-                    out, t[i], (geo._base_row(f, q) + 1, 2)
-                )
+                out = _overlay_block(out, t[i], geo._base_row(f, q) + 1, 2)
         return out
 
     def kernel(bh_ref, bl_ref, im_ref, bm_ref, fm_ref,

@@ -176,6 +176,20 @@ def _shift_df(a, dr: int, dc: int):
     return _shift(a[0], dr, dc), _shift(a[1], dr, dc)
 
 
+def _overlay_block(out, blk, r0: int, c0: int):
+    """Write ``blk`` into ``out`` at STATIC offsets ``(r0, c0)``.
+
+    jax 0.9 dropped the Mosaic lowering for value-level
+    ``dynamic_update_slice`` (and ``.at[].set`` scatter) inside TPU kernels;
+    pad-and-add is the supported spelling. Every call site places interior
+    blocks onto positions that are zero in ``out`` (freshly zeroed buffers
+    or boundary-masked fields), so the add IS an overwrite.
+    """
+    h, w = blk.shape
+    R, C = out.shape
+    return out + jnp.pad(blk, ((r0, R - r0 - h), (c0, C - c0 - w)))
+
+
 def _axpy_const(acc, w: float, v):
     """acc += w * v for a trace-time f64 constant w (df pair arrays)."""
     w_hi, w_lo = _split_const(w)
@@ -420,9 +434,7 @@ def build_packed_field_fastdiag(geo, op):
                 for b in t
             ]
             for i, q in enumerate(zplanes):
-                out = jax.lax.dynamic_update_slice(
-                    out, t[i], (geo._base_row(f, q) + 1, 2)
-                )
+                out = _overlay_block(out, t[i], geo._base_row(f, q) + 1, 2)
         return out
 
     return consts, apply
