@@ -239,6 +239,26 @@ def _apply_rotations_scanned(hfull, cs, sn, j, m):
     return jnp.concatenate([new_h, t[m : m + 1]])
 
 
+def default_krylov_batch() -> int:
+    """Iterations fused per ``lax.while_loop`` trip in the df Krylov loops.
+
+    On this TPU backend every while-loop trip costs ~0.6 ms of sequencing
+    (see ``docs/design.md`` §5.1 — the axon cost model), so running k
+    masked iterations per trip divides that overhead by k. The masked
+    steps reproduce the one-iteration-per-trip numerics and iteration
+    counts EXACTLY (converged state is frozen via selects), so this is a
+    pure dispatch-overhead knob, not an algorithmic change. Default 4 on
+    TPU-class backends, 1 elsewhere (CPU pays nothing per trip);
+    ``PERPHIL_TPU_KRYLOV_BATCH`` overrides.
+    """
+    import os
+
+    env = os.environ.get("PERPHIL_TPU_KRYLOV_BATCH")
+    if env:
+        return max(1, int(env))
+    return 4 if jax.default_backend().lower() in ("tpu", "axon") else 1
+
+
 def gmres_df(
     A_df: Callable,
     b_df,
@@ -249,6 +269,7 @@ def gmres_df(
     restart: int = 30,
     M_inv_df: Optional[Callable] = None,
     dtol: float = DEFAULT_DTOL,
+    batch: Optional[int] = None,
 ):
     """Left-preconditioned restarted GMRES on double-float vectors.
 
@@ -258,6 +279,10 @@ def gmres_df(
     default) — df32 arithmetic is deterministic, so the CGS2 pass that
     guards the emulated-f64 path against backend reduction noise is not
     needed here.
+
+    ``batch`` (default :func:`default_krylov_batch`) runs that many masked
+    Arnoldi steps per while-loop trip: identical iterates and iteration
+    counts, k× less per-trip sequencing overhead on this backend.
     """
     from perphil_tpu.ops.dfvec import (
         df_basis_comb,
@@ -269,6 +294,7 @@ def gmres_df(
 
     P = M_inv_df or (lambda v: v)
     m = int(restart)
+    k_batch = default_krylov_batch() if batch is None else max(1, int(batch))
     shape = b_df[0].shape
     f32 = b_df[0].dtype
     if x0_df is None:
@@ -331,9 +357,64 @@ def gmres_df(
             ok &= rnorm_i <= div
             return ok
 
+        def masked_step(carry):
+            # One Arnoldi step gated on the loop predicate: when inactive
+            # (converged/diverged/cycle full) every carry element is left
+            # untouched, so a k-step trip reproduces the 1-step-per-trip
+            # iterate sequence and iteration count EXACTLY — the batching
+            # only amortizes this backend's per-trip sequencing cost.
+            V, R, g, cs, sn, j, its_i, rnorm_i, x_i = carry
+            active = (
+                (j < m)
+                & (its_i < max_it)
+                & (rnorm_i > jnp.maximum(tol, 0.0))
+                & (rnorm_i <= div)
+            )
+            vj = (V[0][j], V[1][j])
+            w = P(A_df(vj))
+            h = df_basis_dot(V, w)
+            w = df_vec_sub(w, df_basis_comb(h, V))
+            hj1 = df_norm(w)
+            inv = jnp.where(hj1 > 0.0, 1.0 / hj1, 1.0)
+            wn = df_scale64(w, inv)
+            # dynamic reads clamp and OOB scatter rows drop (j+1 == m+1
+            # only ever happens when inactive), so the masked writes are
+            # in-bounds whenever they matter
+            j1r = jnp.minimum(j + 1, m)
+            V = (
+                V[0].at[j + 1].set(jnp.where(active, wn[0], V[0][j1r])),
+                V[1].at[j + 1].set(jnp.where(active, wn[1], V[1][j1r])),
+            )
+            hfull = h.at[j1r].set(jnp.where(j + 1 <= m, hj1, 0.0))
+            hfull = _apply_rotations_scanned(hfull, cs, sn, j, m)
+            a_ = hfull[j]
+            b_ = hfull[j1r]
+            denom = jnp.sqrt(a_ * a_ + b_ * b_)
+            denom_safe = jnp.where(denom > 0.0, denom, 1.0)
+            c_new = jnp.where(denom > 0.0, a_ / denom_safe, 1.0)
+            s_new = jnp.where(denom > 0.0, b_ / denom_safe, 0.0)
+            cs = jnp.where(active, cs.at[j].set(c_new), cs)
+            sn = jnp.where(active, sn.at[j].set(s_new), sn)
+            hfull = hfull.at[j].set(c_new * a_ + s_new * b_).at[j + 1].set(0.0)
+            R = jnp.where(active, R.at[:, j].set(hfull[:m]), R)
+            gj = g[j]
+            g = jnp.where(
+                active, g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj), g
+            )
+            step = active.astype(j.dtype)
+            rnorm_i = jnp.where(active, jnp.abs(-s_new * gj), rnorm_i)
+            return V, R, g, cs, sn, j + step, its_i + step, rnorm_i, x_i
+
+        def batched_steps(carry):
+            for _ in range(k_batch):
+                carry = masked_step(carry)
+            return carry
+
         carry = ((Vh, Vl), R, g, cs, sn, jnp.asarray(0), its, beta, x)
         V, R, g, cs, sn, j, its, rnorm, x = lax.while_loop(
-            inner_cond, arnoldi_step, carry
+            inner_cond,
+            arnoldi_step if k_batch == 1 else batched_steps,
+            carry,
         )
         col = jnp.arange(m)
         Rm = jnp.where((col[None, :] >= j) & (col[:, None] == col[None, :]), 1.0, R)
@@ -376,8 +457,15 @@ def cg_df(
     atol: float = 1.0e-12,
     max_it: int = 10000,
     M_inv_df: Optional[Callable] = None,
+    batch: Optional[int] = None,
 ):
-    """Preconditioned CG on double-float vectors (see :func:`cg`)."""
+    """Preconditioned CG on double-float vectors (see :func:`cg`).
+
+    ``batch`` (default :func:`default_krylov_batch`) fuses that many masked
+    CG steps per while-loop trip — identical iterates/counts, k× less
+    per-trip sequencing overhead (the dominant cost of the SS-GMRES+ILU
+    inner block solves on this backend).
+    """
     from perphil_tpu.ops.dfvec import (
         df_axpy64,
         df_dot,
@@ -387,6 +475,7 @@ def cg_df(
 
     P = M_inv_df or (lambda v: v)
     f32 = b_df[0].dtype
+    k_batch = default_krylov_batch() if batch is None else max(1, int(batch))
     if x0_df is None:
         z = jnp.zeros(b_df[0].shape, dtype=f32)
         x0_df = (z, z)
@@ -412,8 +501,38 @@ def cg_df(
         rnorm = jnp.sqrt(df_dot(r, r))
         return x, r, z, p_new, rz_new, its + 1, rnorm
 
+    def masked_body(state):
+        # One CG step gated on the loop predicate: a frozen (converged)
+        # state passes through untouched, so k-step trips reproduce the
+        # plain loop's iterates and counts exactly.
+        x, r, z, p, rz, its, rnorm = state
+        active = (rnorm > tol) & (its < max_it)
+
+        def sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda u, v: jnp.where(active, u, v), new, old
+            )
+
+        n = body(state)
+        return (
+            sel(n[0], x),
+            sel(n[1], r),
+            sel(n[2], z),
+            sel(n[3], p),
+            jnp.where(active, n[4], rz),
+            its + active.astype(its.dtype),
+            jnp.where(active, n[6], rnorm),
+        )
+
+    def batched_body(state):
+        for _ in range(k_batch):
+            state = masked_body(state)
+        return state
+
     state = (x0_df, r, z, z, df_dot(r, z), jnp.asarray(0), rnorm0)
-    x, r, z, p, rz, its, rnorm = lax.while_loop(cond, body, state)
+    x, r, z, p, rz, its, rnorm = lax.while_loop(
+        cond, body if k_batch == 1 else batched_body, state
+    )
     return x, its, rnorm
 
 

@@ -152,3 +152,45 @@ def test_nonlinear_degree2_ksponly_and_clear_error():
 
     with pytest.raises(ValueError, match="ksponly"):
         solve_dpp_nonlinear(W, params, bcs, solver_parameters=PICARD_LU_SOLVER_PARAMS)
+
+
+def test_krylov_batch_equivalence():
+    """k masked iterations per while-loop trip must reproduce the plain
+    loop's iteration counts exactly and its iterates to the df32 noise
+    floor (bit-identical on TPU-class backends; on CPU jit the documented
+    EFT-contraction noise bounds the difference — see ops/df32)."""
+    from perphil_tpu.ops.krylov import cg_df, gmres_df
+
+    rng = np.random.default_rng(7)
+    n = 96
+    A = (
+        np.eye(n) * 4.0
+        + np.diag(-np.ones(n - 1), 1)
+        + np.diag(-np.ones(n - 1), -1)
+        + rng.normal(0.0, 0.05, (n, n))
+    )
+    A = (A + A.T) / 2 + np.eye(n) * 2.0
+    b = rng.normal(size=n)
+    Ad = jnp.asarray(A)
+    bdf = df_from_f64(jnp.asarray(b))
+
+    def mv(v):
+        h = Ad @ v[0].astype(jnp.float64) + Ad @ v[1].astype(jnp.float64)
+        hi = h.astype(jnp.float32)
+        return hi, (h - hi.astype(jnp.float64)).astype(jnp.float32)
+
+    ref = gmres_df(mv, bdf, rtol=1e-10, restart=30, max_it=500, batch=1)
+    xr = np.asarray(ref.x[0], np.float64) + np.asarray(ref.x[1], np.float64)
+    for k in (3, 4):
+        got = gmres_df(mv, bdf, rtol=1e-10, restart=30, max_it=500, batch=k)
+        assert int(got.iterations) == int(ref.iterations)
+        xg = np.asarray(got.x[0], np.float64) + np.asarray(got.x[1], np.float64)
+        np.testing.assert_allclose(xg, xr, rtol=0, atol=1e-7 * np.linalg.norm(xr))
+
+    x1, its1, _ = cg_df(mv, bdf, rtol=1e-10, max_it=500, batch=1)
+    xr = np.asarray(x1[0], np.float64) + np.asarray(x1[1], np.float64)
+    for k in (3, 4):
+        xk, itsk, _ = cg_df(mv, bdf, rtol=1e-10, max_it=500, batch=k)
+        assert int(itsk) == int(its1)
+        xg = np.asarray(xk[0], np.float64) + np.asarray(xk[1], np.float64)
+        np.testing.assert_allclose(xg, xr, rtol=0, atol=1e-6 * np.linalg.norm(xr))
