@@ -90,6 +90,22 @@ class weight_dtype:
         _WEIGHT_DTYPE_OVERRIDE.pop()
 
 
+def _group_size() -> int:
+    """Row-group size for the grouped 2D trisolve (see GridTriSolve2D).
+    Default 0 = the dense-map tree. MEASURED NEGATIVE on the target
+    hardware (v5e, 2D N=256 monolithic ILU apply): tree 0.91 ms vs
+    grouped 2.46 ms — the grouped pass trades the tree's streaming of
+    ~135 MB of composite maps (HBM-bound at ~520 GB/s, near the
+    achievable floor) for ~13k tiny dependent ops whose fixed per-op
+    cost dominates, and the unrolled passes inflate compile time ~5x.
+    Kept as an env-gated experiment (exactness pinned by
+    ``test_grouped_trisolve_matches_tree``) because the trade flips on
+    backends with cheap small ops."""
+    import os
+
+    return max(0, int(os.environ.get("PERPHIL_TPU_PARTRI_GROUP", "0")))
+
+
 def _matmat(a, b):
     # (k, *B, i, j) @ (k, *B, j, l) -> (k, *B, i, l)
     return jnp.einsum("...ij,...jl->...il", a, b, precision=_PREC)
@@ -257,6 +273,19 @@ class GridTriSolve2D:
     Per-row maps ``M_y = T_y B_y`` (``T_y`` the unit-bidiagonal inverse) are
     densified once; solves run the scalar tree within rows and the affine
     tree across rows.
+
+    GROUPED mode (``PERPHIL_TPU_PARTRI_GROUP``, default 0 = off): the full
+    dense-map tree stores/streams ~2*ny nx^2 maps per apply (~135 MB at
+    ny=nx=257 — measured HBM-bound at ~520 GB/s, ~0.26 ms per trisolve).
+    Grouping rows into blocks of G keeps only the ny/G per-GROUP composite
+    maps and re-derives within-group states from the banded coefficients
+    (two unrolled G-step passes + one short boundary chain): ~10x less
+    memory traffic for the same exact recurrence, at the cost of computing
+    each within-group row twice. Measured SLOWER on v5e (see
+    :func:`_group_size`) — the tree is the production default; this stays
+    as the evaluated alternative. Applies only to unbatched solves with
+    ny >= 2G (the 3D plane solver stays on the tree: its batched
+    densification path needs ``chain``/vmap semantics).
     """
 
     def __init__(self, wr: jnp.ndarray, bm: jnp.ndarray, b0: jnp.ndarray, bp: jnp.ndarray):
@@ -271,6 +300,10 @@ class GridTriSolve2D:
         wr_x_first = jnp.moveaxis(wr, -1, 0)
         self.row_scan = AffineChainScan(wr_x_first, scalar=True)
 
+        G = _group_size()
+        grouped = bool(G) and not self.batch and ny >= 2 * G
+        self.G = G if grouped else 0
+
         # dense B_y: (*batch, ny, nx, nx); B[..., y, i, i+d] = b_d[..., y, i]
         i = np.arange(nx)
         B = jnp.zeros(self.batch + (ny, nx, nx), dtype=dtype)
@@ -284,21 +317,68 @@ class GridTriSolve2D:
         M = _unit_bidiag_solve(wr, B)
         # element axis (y) first for the chain: (ny, *batch, nx, nx)
         M = jnp.moveaxis(M, len(self.batch), 0)
-        self.chain = AffineChainScan(M)
+
+        if not grouped:
+            self.chain = AffineChainScan(M)
+            self.g_coeffs = self.g_chains = self.g_Mhat = None
+            self.ngroups = self.pad = 0
+            return
+
+        self.chain = None
+        ngroups = -(-ny // G)
+        pad = ngroups * G - ny
+        self.ngroups, self.pad = ngroups, pad
+
+        def _steps(a):  # (ny, nx) zero-padded -> (G, ngroups, nx)
+            ap = jnp.pad(a, ((0, pad), (0, 0)))
+            return ap.reshape(ngroups, G, nx).swapaxes(0, 1)
+
+        # banded coefficients per within-group step (padded rows decouple:
+        # all-zero coefficients make x = c there, and outputs are cropped)
+        self.g_coeffs = (_steps(bm), _steps(b0), _steps(bp))
+        # per-step within-row bidiagonal chains, batched over groups
+        self.g_chains = tuple(
+            AffineChainScan(jnp.moveaxis(w, -1, 0), scalar=True)
+            for w in _steps(wr)
+        )
+        # per-group composite maps Mhat_k = M_{kG+G-1} ... M_{kG}
+        # (row 0 has no predecessor: M[0] contributes nothing — force zero
+        # exactly like AffineChainScan does; zero-map padding rows likewise)
+        Mz = M.at[0].set(jnp.zeros_like(M[0]))
+        Mp = jnp.pad(Mz, ((0, pad), (0, 0), (0, 0)))
+        Mg = Mp.reshape(ngroups, G, nx, nx)
+        Mhat = Mg[:, 0]
+        for s in range(1, G):
+            Mhat = _matmat(Mg[:, s], Mhat)
+        wd = _weight_dtype()
+        if wd is not None:
+            # composition above ran full-f32; only the STORED maps truncate
+            Mhat = Mhat.astype(wd)
+        self.g_Mhat = Mhat  # (ngroups, nx, nx)
 
     def cast_weights(self, wd) -> None:
         """Truncate stored chain maps to ``wd`` (row scans are scalar and
         stay full precision regardless)."""
-        self.chain.cast_weights(wd)
+        if self.chain is not None:
+            self.chain.cast_weights(wd)
+        elif wd is not None:
+            self.g_Mhat = self.g_Mhat.astype(wd)
 
     def tree_flatten(self):
-        return (self.row_scan, self.chain), (self.batch, self.ny, self.nx)
+        children = (
+            self.row_scan,
+            self.chain,
+            self.g_coeffs,
+            self.g_chains,
+            self.g_Mhat,
+        )
+        return children, (self.batch, self.ny, self.nx, self.G, self.ngroups, self.pad)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.row_scan, obj.chain = children
-        obj.batch, obj.ny, obj.nx = aux
+        (obj.row_scan, obj.chain, obj.g_coeffs, obj.g_chains, obj.g_Mhat) = children
+        obj.batch, obj.ny, obj.nx, obj.G, obj.ngroups, obj.pad = aux
         return obj
 
     def row_solve(self, c: jnp.ndarray) -> jnp.ndarray:
@@ -309,10 +389,54 @@ class GridTriSolve2D:
 
     def apply(self, c: jnp.ndarray) -> jnp.ndarray:
         """Solve for ``x`` given ``c`` of shape ``(*batch, ny, nx)``."""
+        if self.chain is None:
+            return self._grouped_apply(c)
         g = self.row_solve(c)
         g_y_first = jnp.moveaxis(g, -2, 0)  # (ny, *batch, nx)
         x = self.chain.apply(g_y_first)
         return jnp.moveaxis(x, 0, -2)
+
+    def _grouped_apply(self, c: jnp.ndarray) -> jnp.ndarray:
+        """Grouped-row exact solve: unrolled within-group recurrences +
+        a short cross-group boundary chain (see class docstring)."""
+        G, ngroups, nx = self.G, self.ngroups, self.nx
+        bm_s, b0_s, bp_s = self.g_coeffs
+        cp = (
+            jnp.pad(c, ((0, self.pad), (0, 0)))
+            .reshape(ngroups, G, nx)
+            .swapaxes(0, 1)
+        )  # (G, ngroups, nx)
+
+        def run_pass(x_start, collect: bool):
+            # x_start: (ngroups, nx) — the true solution one row above each
+            # group (zeros in the homogeneous first pass)
+            x_prev = x_start
+            outs = []
+            for s in range(G):
+                left = jnp.pad(x_prev[:, :-1], ((0, 0), (1, 0)))
+                right = jnp.pad(x_prev[:, 1:], ((0, 0), (0, 1)))
+                cc = cp[s] + bm_s[s] * left + b0_s[s] * x_prev + bp_s[s] * right
+                xs = jnp.moveaxis(
+                    self.g_chains[s].apply(jnp.moveaxis(cc, -1, 0)), 0, -1
+                )
+                if collect:
+                    outs.append(xs)
+                x_prev = xs
+            return outs, x_prev
+
+        # pass 1 (homogeneous): last row per group = the groups' affine
+        # offsets zb_k; then xb_k = Mhat_k xb_{k-1} + zb_k sequentially
+        _, zb = run_pass(jnp.zeros((ngroups, nx), c.dtype), collect=False)
+        xb = [zb[0]]
+        for k in range(1, ngroups):
+            xb.append(_matvec(self.g_Mhat[k], xb[-1]) + zb[k])
+        starts = jnp.concatenate(
+            [jnp.zeros((1, nx), c.dtype), jnp.stack(xb[:-1])], axis=0
+        )
+        # pass 2: the same recurrences from the true boundary states
+        outs, _ = run_pass(starts, collect=True)
+        x = jnp.stack(outs).swapaxes(0, 1).reshape(ngroups * G, nx)
+        return x[: self.ny]
 
 
 class GridTriSolve3D:

@@ -182,7 +182,11 @@ def test_bf16_weight_dtype_keeps_f32_state_2d():
     ref = np.asarray(GridTriSolve2D(*args).apply(jnp.asarray(c, jnp.float32)))
     with partri.weight_dtype("bfloat16"):
         solver = GridTriSolve2D(*args)
-    assert solver.chain.level_mats[0][0].dtype == jnp.bfloat16
+    # bf16 storage contract in whichever mode the group-size env selects
+    if solver.chain is not None:
+        assert solver.chain.level_mats[0][0].dtype == jnp.bfloat16
+    else:
+        assert solver.g_Mhat.dtype == jnp.bfloat16
     out = solver.apply(jnp.asarray(c, jnp.float32))
     assert out.dtype == jnp.float32  # state contract
     rel = float(np.max(np.abs(np.asarray(out) - ref)) / np.max(np.abs(ref)))
@@ -234,3 +238,36 @@ def test_bf16_weight_dtype_3d_composes_full_precision():
     assert out.dtype == jnp.float32
     rel = float(np.max(np.abs(np.asarray(out) - ref)) / np.max(np.abs(ref)))
     assert rel < 1e-2, rel
+
+
+def test_grouped_trisolve_matches_tree():
+    """The grouped-row apply (PERPHIL_TPU_PARTRI_GROUP) solves the exact
+    same recurrence as the dense-map tree: agreement to f32 roundoff at
+    divisible and non-divisible ny, including wide rows."""
+    import os
+
+    from perphil_tpu.ops import partri
+
+    rng = np.random.default_rng(11)
+    for ny, nx, G in [(64, 17, 32), (257, 33, 32), (70, 9, 16)]:
+        coef = lambda: jnp.asarray(  # noqa: E731
+            rng.normal(0.0, 0.3, (ny, nx)).astype(np.float32)
+        )
+        wr, bm, b0, bp = coef(), coef(), coef(), coef()
+        c = coef()
+        old = os.environ.get("PERPHIL_TPU_PARTRI_GROUP")
+        try:
+            os.environ["PERPHIL_TPU_PARTRI_GROUP"] = "0"
+            tree = partri.GridTriSolve2D(wr, bm, b0, bp)
+            os.environ["PERPHIL_TPU_PARTRI_GROUP"] = str(G)
+            grp = partri.GridTriSolve2D(wr, bm, b0, bp)
+        finally:
+            if old is None:
+                os.environ.pop("PERPHIL_TPU_PARTRI_GROUP", None)
+            else:
+                os.environ["PERPHIL_TPU_PARTRI_GROUP"] = old
+        assert grp.chain is None  # grouped mode engaged
+        xt = np.asarray(tree.apply(c), np.float64)
+        xg = np.asarray(grp.apply(c), np.float64)
+        scale = np.max(np.abs(xt)) + 1.0
+        assert np.max(np.abs(xg - xt)) / scale < 5e-6, (ny, nx, G)
