@@ -635,14 +635,38 @@ def _solve_wall(solver, g1, g2, repeats: int):
         _block(out)
         t_one = time.perf_counter() - t0
         if t_one * reps <= CHAIN_BUDGET_S:
-            n_chain = max(
-                reps,
-                min(100, int(-(-CHAIN_TARGET_WINDOW_S // max(t_one, 1e-4)))),
-            )
-            while n_chain > reps and t_one * n_chain > CHAIN_BUDGET_S:
-                n_chain = max(reps, n_chain // 2)
             try:
-                wall, out = _chained_solve_wall(solver, g1, g2, n_chain)
+                # Stage 1 — short probe chain. t_one is dominated by the
+                # relay's fixed dispatch cost at small N (measured ~24 ms
+                # against sub-ms solves), so sizing the window from t_one
+                # under-chains by 10x+ and the dispatch share pollutes
+                # time_total. Estimate the true per-trip marginal from a
+                # chained run instead.
+                n1 = max(reps, 8)
+                while n1 > reps and t_one * n1 > CHAIN_BUDGET_S:
+                    n1 = max(reps, n1 // 2)
+                wall1, out = _chained_solve_wall(solver, g1, g2, n1)
+                marginal = max(
+                    (wall1 - t_one) / max(n1 - 1, 1),
+                    wall1 / n1 * 0.2,  # amortization better than t_one
+                    1e-5,
+                )
+                want = max(
+                    n1,
+                    min(100, int(-(-CHAIN_TARGET_WINDOW_S // marginal))),
+                )
+                while want > n1 and t_one + marginal * want > CHAIN_BUDGET_S:
+                    want = max(n1, want // 2)
+                # snap to a small ladder so repeated sizes reuse compiled
+                # chain programs (each distinct length is a fresh compile)
+                n_chain = n1
+                for step_n in (25, 100):
+                    if want >= step_n:
+                        n_chain = step_n
+                if n_chain > n1:
+                    wall, out = _chained_solve_wall(solver, g1, g2, n_chain)
+                else:
+                    wall = wall1
                 _solve_wall.last_chain_repeats = n_chain
                 return wall * (reps / n_chain), out
             except Exception as exc:  # fall back, never silently
