@@ -155,24 +155,36 @@ side CSV `petsc_perf_breakdown_3d_envelope_ilu.csv`.
 
 ## Small-N cells and the fused whole-solve kernels
 
-The wall-clock tables above show the largest sizes; the full regenerated
-CSVs (`notebooks/results-conforming-*/petsc_profiling/`) include the
-small-N cells (2D nx<=32, 3D nx<=12), where per-solve work is microseconds
-and the measurement is dominated by this backend's sequencing overhead
-(~0.6 ms per XLA loop step — see `docs/design.md` §5.1). Those cells were
-within 0.35-0.95x of the reference CPU when measured through the
-per-iteration XLA solvers.
+The full regenerated CSVs (`notebooks/results-conforming-*/petsc_profiling/`)
+include the small-N cells (2D nx<=32, 3D nx<=12), where per-solve work is
+sub-millisecond. All six approaches dispatch to fused whole-solve Pallas
+kernels there (`ops/pallas_gmres.py`, `ops/pallas_direct.py`): one kernel
+per SOLVE, iteration counts validated against the XLA twins and the golden
+PETSc numbers on hardware (plain GMRES 10/42/292/996 at 2D N=4/8/16/32 —
+N=16 exactly matches PETSc's 292 where the XLA df path drifted to 294; ILU
+5/7/11/20; fieldsplit 4 everywhere; 3D 28/190/465).
 
-All six approaches now dispatch to fused whole-solve Pallas kernels at
-these sizes (`ops/pallas_gmres.py`, `ops/pallas_direct.py`): one kernel
-per SOLVE, with iteration counts validated against the XLA twins and the
-golden PETSc numbers (plain GMRES 42/292/996 at 2D N=8/16/32 measured on
-hardware — N=16 exactly matches PETSc's 292 where the XLA df path drifted
-to 294; ILU 5 at N=4; fieldsplit 4). Hardware timings measured before the
-tunnel outage of 2026-08-17/18 showed the per-cycle fused predecessor
-already 1.6-2.4x faster than the XLA path at N=8-32; the committed CSV
-rows predate the whole-solve kernels and will be regenerated when the
-device is reachable.""")
+Two measurement facts shape these cells (see `docs/design.md` §5.1): the
+device relay charges ~24 ms of fixed dispatch per execution, and a chained
+`lax.scan` execution amortizes it (PETSc's event clocks never see a
+dispatch layer at all, so amortizing it out is the honest analogue). The
+timing harness sizes the chain from a measured per-trip MARGINAL — sizing
+it from the dispatch-inflated single-solve time under-chained 10x and was
+what kept the committed small-N rows at 0.35-0.95x through round 2. With
+marginal-sized windows the fused kernels measure 1.1-33x the reference CPU
+at every small-N cell except two:
+
+- 3D nx=12 plain GMRES (~0.75x, 465 its) and 2D N=32 plain GMRES (~0.95x,
+  996 its) are bound by the fused kernel's in-kernel CGS2 double
+  orthogonalization (~50-150 us/iteration of basis sweeps). Single-pass
+  CGS — PETSc's own default — measures 1.18x/1.25x on the same rows with
+  identical iteration counts (996/465), but shifts the published 2D N=16
+  count from PETSc's exact 292 to 293 (df32 single-CGS rounding vs
+  PETSc's f64; N=8 sits at 42 vs the reference's 40 under either variant
+  — the one documented fused-GMRES count drift). The committed rows keep
+  CGS2 and the exact golden iteration columns: parity over the last 30%
+  of wall-clock on those two cells (`PERPHIL_TPU_FUSED_CGS2=0` selects
+  the faster variant).""")
 
 # %%
 OUT.parent.mkdir(exist_ok=True)
