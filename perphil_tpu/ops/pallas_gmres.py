@@ -176,6 +176,18 @@ def _shift_df(a, dr: int, dc: int):
     return _shift(a[0], dr, dc), _shift(a[1], dr, dc)
 
 
+def _shift_sum_df(a, shifts):
+    """Sum of zero-fill shifts of a df pair. The grouped-geometry stencil
+    decomposition (see _Geometry.offsets) guarantees the images are
+    disjoint on real data positions, so a componentwise add is exact —
+    at most one term is nonzero per element."""
+    out = _shift_df(a, *shifts[0])
+    for dr, dc in shifts[1:]:
+        nxt = _shift_df(a, dr, dc)
+        out = (out[0] + nxt[0], out[1] + nxt[1])
+    return out
+
+
 def _overlay_block(out, blk, r0: int, c0: int):
     """Write ``blk`` into ``out`` at STATIC offsets ``(r0, c0)``.
 
@@ -453,12 +465,13 @@ def build_packed_coupling(geo, op):
         zi = _df_mask(z, imask)
         zero = (jnp.zeros((Rp, Wp), jnp.float32), jnp.zeros((Rp, Wp), jnp.float32))
         Mz = zero
-        for sidx, (dr, dc) in geo.offsets():
+        for sidx, shifts in geo.offsets():
             mw = float(M_st[sidx])
             if mw == 0.0:
                 continue
-            Mz = _axpy_const(Mz, mw, _shift_df(zi, dr, dc))
-        sw = (_shift(Mz[0], -Fr, 0), _shift(Mz[1], -Fr, 0))
+            Mz = _axpy_const(Mz, mw, _shift_sum_df(zi, shifts))
+        dr_f, dc_f = geo.field_shift
+        sw = (_shift(Mz[0], -dr_f, -dc_f), _shift(Mz[1], -dr_f, -dc_f))
         out = _axpy_const(zero, -bw, sw)
         return _df_mask(out, imask)
 
@@ -485,12 +498,12 @@ def build_packed_matvec(geo, op, coupling: bool = True):
         zero = (jnp.zeros((Rp, Wp), jnp.float32), jnp.zeros((Rp, Wp), jnp.float32))
         Kz = zero
         Mz = zero
-        for sidx, (dr, dc) in geo.offsets():
+        for sidx, shifts in geo.offsets():
             kw = float(K_st[sidx])
             mw = float(M_st[sidx])
             if kw == 0.0 and mw == 0.0:
                 continue
-            sh = _shift_df(zi, dr, dc)
+            sh = _shift_sum_df(zi, shifts)
             if kw != 0.0:
                 Kz = _axpy_const(Kz, kw, sh)
             if mw != 0.0:
@@ -503,10 +516,12 @@ def build_packed_matvec(geo, op, coupling: bool = True):
         y = _axpy_const(y, bw, Mz)
         if coupling:
             # swap field blocks of Mz (the coupling term reads the OTHER
-            # field's mass application)
+            # field's mass application); field_shift is the packed
+            # field-0 -> field-1 displacement (sublane or lane stacking)
+            dr_f, dc_f = geo.field_shift
             swap = (
-                _shift(Mz[0], -Fr, 0) + _shift(Mz[0], Fr, 0),
-                _shift(Mz[1], -Fr, 0) + _shift(Mz[1], Fr, 0),
+                _shift(Mz[0], -dr_f, -dc_f) + _shift(Mz[0], dr_f, dc_f),
+                _shift(Mz[1], -dr_f, -dc_f) + _shift(Mz[1], dr_f, dc_f),
             )
             y = _axpy_const(y, -bw, swap)
         return df_add(_df_mask(y, imask), _df_mask(z, bmask))
@@ -520,9 +535,25 @@ def build_packed_matvec(geo, op, coupling: bool = True):
 
 
 class _Geometry:
-    """Static packing data for one mesh."""
+    """Static packing data for one mesh.
 
-    def __init__(self, node_shape: Tuple[int, ...], bdry: np.ndarray):
+    ``group`` > 1 lane-packs that many z-planes side by side (each plane in
+    a ``cols + 2``-lane slot incl. x halos), shrinking the padded canvas by
+    ~``group``x. Narrow 3D grids (cols + 2 << 128 lanes) are otherwise
+    lane-starved: the whole per-iteration VPU cost (CGS dots, axpys, norms)
+    scales with the padded canvas, not the DoF count. A dz stencil shift
+    then needs up to two zero-fill shifts — in-group (pure lane shift by
+    ``dz*sw``) plus cross-block (sublane ``dz*hrow``, lane
+    ``-dz*(group-1)*sw``) — whose contributions land on disjoint real
+    positions, so they combine with a plain add (see ``offsets``)."""
+
+    def __init__(
+        self,
+        node_shape: Tuple[int, ...],
+        bdry: np.ndarray,
+        group: int = 1,
+        field_lanes: bool = False,
+    ):
         self.node_shape = tuple(int(n) for n in node_shape)
         dim = len(self.node_shape)
         if dim == 2:
@@ -534,16 +565,35 @@ class _Geometry:
         self.dim = dim
         self.planes, self.rows, self.cols = planes, rows, cols
         self.hrow = rows + 2  # per-plane rows incl. top/bottom halo
-        self.Fr = planes * self.hrow  # rows per field block
-        self.Rp = _next_pow2(2 * self.Fr)
+        self.sw = cols + 2  # lane slot width incl. left/right halo
         self.Wp = _LANES
-        if cols + 2 > self.Wp:
+        # field-lane stacking (2D): the two field grids sit side by side
+        # in lanes instead of stacked in sublanes — halves the canvas for
+        # cols <= 62. The field-coupling "swap" becomes a +-sw lane shift.
+        self.field_lanes = (
+            bool(field_lanes) and dim == 2 and 2 * self.sw <= self.Wp
+        )
+        group = max(1, min(int(group), planes, self.Wp // self.sw))
+        self.group = group
+        self.nblocks = -(-planes // group)  # ceil
+        self.Fr = self.nblocks * self.hrow  # rows per field block
+        self.Rp = _next_pow2((1 if self.field_lanes else 2) * self.Fr)
+        # packed (drow, dlane) displacement from a field-0 position to the
+        # corresponding field-1 position (the coupling swap shift)
+        self.field_shift = (0, self.sw) if self.field_lanes else (self.Fr, 0)
+        if self.sw > self.Wp:
             raise ValueError("field too wide for the fused kernel")
 
         def base_row(f: int, p: int) -> int:
-            return f * self.Fr + p * self.hrow + 1
+            fr = 0 if self.field_lanes else f * self.Fr
+            return fr + (p // group) * self.hrow + 1
+
+        def base_lane(f: int, p: int) -> int:
+            fl = f if self.field_lanes else 0
+            return ((p % group) + fl) * self.sw + 1
 
         self._base_row = base_row
+        self._base_lane = base_lane
 
         bmask = np.zeros((self.Rp, self.Wp), np.float32)
         imask = np.zeros((self.Rp, self.Wp), np.float32)
@@ -551,61 +601,143 @@ class _Geometry:
         for f in range(2):
             for p in range(planes):
                 r0 = base_row(f, p)
+                c0 = base_lane(f, p)
                 sl = (p,) if dim == 3 else ()
-                bmask[r0 : r0 + rows, 1 : 1 + cols] = bdry[sl].astype(np.float32)
-                imask[r0 : r0 + rows, 1 : 1 + cols] = interior[sl].astype(
+                bmask[r0 : r0 + rows, c0 : c0 + cols] = bdry[sl].astype(
                     np.float32
                 )
-        # field-0 row selector (for per-field permeability weights)
+                imask[r0 : r0 + rows, c0 : c0 + cols] = interior[sl].astype(
+                    np.float32
+                )
+        # field-0 selector (for per-field permeability weights)
         fmask = np.zeros((self.Rp, self.Wp), np.float32)
-        fmask[: self.Fr, :] = 1.0
+        if self.field_lanes:
+            fmask[:, : self.sw] = 1.0
+        else:
+            fmask[: self.Fr, :] = 1.0
         self.bmask, self.imask, self.fmask = bmask, imask, fmask
 
     def offsets(self):
-        """3^d stencil index -> packed (drow, dlane) shift."""
+        """3^d stencil index -> list of packed (drow, dlane) zero-fill
+        shifts whose summed contributions realize that stencil offset.
+
+        Grouped dz != 0 offsets decompose into an in-group lane shift
+        (plane slot g -> g+dz; edge slots fall off into halo/pad lanes,
+        which the final interior mask kills) and a cross-block shift
+        (slot group-1 of block b -> slot 0 of block b+1 for dz=+1; every
+        other slot's image lands outside the real slots — negative lanes
+        are clipped by the zero-fill shift, overshoots land in pad lanes —
+        so no extra masking is needed). The two images are disjoint on
+        real data positions, hence a plain (exact) df component add."""
         if self.dim == 2:
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
-                    yield (dy + 1, dx + 1), (dy, dx)
-        else:
-            for dz in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        yield (
-                            (dz + 1, dy + 1, dx + 1),
-                            (dz * self.hrow + dy, dx),
-                        )
+                    yield (dy + 1, dx + 1), [(dy, dx)]
+            return
+        G = self.group
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dz == 0:
+                        sh = [(dy, dx)]
+                    else:
+                        sh = []
+                        if G > 1:
+                            sh.append((dy, dz * self.sw + dx))
+                        if self.nblocks > 1:
+                            sh.append(
+                                (
+                                    dz * self.hrow + dy,
+                                    dx - dz * (G - 1) * self.sw,
+                                )
+                            )
+                    yield (dz + 1, dy + 1, dx + 1), sh
 
     def pack(self, z):
         """(2, *node_shape) f32 -> (Rp, Wp) packed.
 
-        The packed layout is fields x planes x (1 halo row + rows + 1 halo
-        row), so a single pad+reshape produces it — O(1) HLO ops instead of
+        The packed layout is fields x blocks x (1 halo row + rows + 1 halo
+        row), with ``group`` plane slots side by side per block row, so a
+        single pad+reshape+transpose produces it — O(1) HLO ops instead of
         2*planes dynamic_update_slices (each executed op carries real
         per-dispatch cost on this backend)."""
+        G, NB = self.group, self.nblocks
+        if self.field_lanes:
+            z3 = z.astype(jnp.float32).reshape(2, self.rows, self.cols)
+            zp = jnp.pad(z3, ((0, 0), (1, 1), (1, 1)))  # (2, hrow, sw)
+            flat = zp.transpose(1, 0, 2).reshape(self.hrow, 2 * self.sw)
+            return jnp.pad(
+                flat,
+                ((0, self.Rp - self.hrow), (0, self.Wp - 2 * self.sw)),
+            )
         z4 = z.astype(jnp.float32).reshape(2, self.planes, self.rows, self.cols)
-        zp = jnp.pad(z4, ((0, 0), (0, 0), (1, 1), (0, 0)))
-        flat = zp.reshape(2 * self.Fr, self.cols)
+        zp = jnp.pad(
+            z4, ((0, 0), (0, NB * G - self.planes), (1, 1), (1, 1))
+        )
+        z5 = zp.reshape(2, NB, G, self.hrow, self.sw).transpose(0, 1, 3, 2, 4)
+        flat = z5.reshape(2 * self.Fr, G * self.sw)
         return jnp.pad(
-            flat, ((0, self.Rp - 2 * self.Fr), (1, self.Wp - 1 - self.cols))
+            flat, ((0, self.Rp - 2 * self.Fr), (0, self.Wp - G * self.sw))
         )
 
     def unpack(self, buf):
         """(Rp, Wp) packed -> (2, *node_shape) f32."""
-        body = buf[: 2 * self.Fr, 1 : 1 + self.cols]
-        z4 = body.reshape(2, self.planes, self.hrow, self.cols)[:, :, 1:-1, :]
-        return z4.reshape((2,) + self.node_shape)
+        G, NB = self.group, self.nblocks
+        if self.field_lanes:
+            body = buf[: self.hrow, : 2 * self.sw]
+            z3 = body.reshape(self.hrow, 2, self.sw).transpose(1, 0, 2)
+            return z3[:, 1:-1, 1 : 1 + self.cols].reshape(
+                (2,) + self.node_shape
+            )
+        body = buf[: 2 * self.Fr, : G * self.sw]
+        z5 = body.reshape(2, NB, self.hrow, G, self.sw).transpose(0, 1, 3, 2, 4)
+        z4 = z5[:, :, :, 1:-1, 1 : 1 + self.cols].reshape(
+            2, NB * G, self.rows, self.cols
+        )
+        return z4[:, : self.planes].reshape((2,) + self.node_shape)
 
 
 @lru_cache(maxsize=32)
-def _geometry_cached(node_shape: Tuple[int, ...], bdry_bytes: bytes) -> _Geometry:
+def _geometry_cached(
+    node_shape: Tuple[int, ...],
+    bdry_bytes: bytes,
+    group: int = 1,
+    field_lanes: bool = False,
+) -> _Geometry:
     bdry = np.frombuffer(bdry_bytes, dtype=np.bool_).reshape(node_shape)
-    return _Geometry(node_shape, bdry)
+    return _Geometry(node_shape, bdry, group=group, field_lanes=field_lanes)
 
 
-def _geometry(op) -> _Geometry:
+def _plane_group(node_shape: Tuple[int, ...]) -> int:
+    """Lane-packing group for narrow 3D grids (see _Geometry). Only the
+    plain/jacobi fused paths use it: the in-kernel ILU trisolves and the
+    fieldsplit fast-diag plane dots assume the one-slot layout."""
+    if len(node_shape) != 3:
+        return 1
+    planes, _, cols = node_shape
+    return max(1, min(int(planes), _LANES // (int(cols) + 2)))
+
+
+def _use_field_lanes(node_shape: Tuple[int, ...]) -> bool:
+    """2D field-lane stacking (see _Geometry): both field grids fit side
+    by side in the 128 lanes. Same pc restriction as _plane_group.
+
+    Gated to grids whose sublane-stacked canvas is at least 128 rows:
+    below that the per-iteration cost is dominated by fixed kernel
+    overhead, the halved canvas buys <15% (measured: 2D N=16 1.14x,
+    N=32 1.59x), and keeping the small grids on the original layout
+    preserves their bit-exact published iteration trajectories."""
+    if len(node_shape) != 2:
+        return False
+    rows, cols = int(node_shape[0]), int(node_shape[1])
+    return 2 * (cols + 2) <= _LANES and _next_pow2(2 * (rows + 2)) >= 128
+
+
+def _geometry(op, group: int = 1, field_lanes: bool = False) -> _Geometry:
     bdry = np.ascontiguousarray(np.asarray(op.mesh.boundary_mask(), np.bool_))
-    return _geometry_cached(tuple(op.mesh.node_shape), bdry.tobytes())
+    return _geometry_cached(
+        tuple(op.mesh.node_shape), bdry.tobytes(), int(group), bool(field_lanes)
+    )
 
 
 def fused_gmres_supported(op, pc_type: str = "none") -> bool:
@@ -638,7 +770,11 @@ def fused_gmres_supported(op, pc_type: str = "none") -> bool:
         return False
     if cols + 2 > _LANES:
         return False
-    Rp = _next_pow2(2 * planes * (rows + 2))
+    lane_packed = pc_type in ("none", "jacobi")
+    group = _plane_group(ns) if lane_packed else 1
+    nblocks = -(-planes // group)
+    nf = 1 if (lane_packed and _use_field_lanes(ns)) else 2
+    Rp = _next_pow2(nf * nblocks * (rows + 2))
     vbytes = 2 * 32 * Rp * _LANES * 4  # hi+lo basis (pow2-padded) dominates VMEM
     if pc_type in ("ilu", "fieldsplit_ilu"):
         # per-offset factor coefficient planes (3 block-deltas for the
@@ -658,7 +794,16 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
     (optionally left-preconditioned) GMRES(m) solve as a single
     pallas_call. ``debug`` adds V/R/g/y dumps to the outputs
     (numerics-validation harness only)."""
-    geo = _geometry(op)
+    # plain/jacobi solves use the lane-packed layouts (grouped z-planes in
+    # 3D, field-lane stacking in 2D — up to ~8x smaller VPU canvas); the
+    # ILU/fieldsplit builders assume the one-slot sublane-stacked layout
+    ns = tuple(op.mesh.node_shape)
+    lane_packed = pc_type in ("none", "jacobi")
+    geo = _geometry(
+        op,
+        group=_plane_group(ns) if lane_packed else 1,
+        field_lanes=lane_packed and _use_field_lanes(ns),
+    )
     Rp, Wp = geo.Rp, geo.Wp
     m1 = m + 1
     mS = _next_pow2(m1)  # basis rows padded to a power of two: zero rows
@@ -699,8 +844,11 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
             zz, yy, xx = multi[:, 0], multi[:, 1], multi[:, 2]
         dinv = np.zeros((geo.Rp, geo.Wp), np.float32)
         for f in range(2):
-            pr = f * geo.Fr + zz * geo.hrow + 1 + yy
-            dinv[pr, 1 + xx] = (1.0 / dvals[f * n : (f + 1) * n]).astype(np.float32)
+            fr = 0 if geo.field_lanes else f * geo.Fr
+            fl = f if geo.field_lanes else 0
+            pr = fr + (zz // geo.group) * geo.hrow + 1 + yy
+            pc = ((zz % geo.group) + fl) * geo.sw + 1 + xx
+            dinv[pr, pc] = (1.0 / dvals[f * n : (f + 1) * n]).astype(np.float32)
         ilu_consts = (jnp.asarray(dinv),)
     elif pc_type != "none":
         raise ValueError(
