@@ -15,11 +15,15 @@ numbering (VERDICT round-1 item #6):
   it a strictly stronger preconditioner.
 - **2D quad GMRES+ILU**: envelope == FE pattern (all 9 offsets couple), so
   production counts already match the reference exactly (5/7/11/20/74/117).
-- **Pointwise GS (Picard ngs)**: ordering moves counts only a few percent;
-  the production-vs-reference gap (19/65/214 vs 16/63/194, ~10-20%) is
-  dominated by convergence-test details (SNES norm schedule / coloring of
-  PETSc's secant NGS) that PETSc does not expose in the CSVs. The study
-  records counts under rtol-only and rtol+stol criteria as the bound.
+- **Pointwise GS (Picard ngs)**: CLOSED EXACTLY. PETSc's SNES ``ngs`` is a
+  randomized-coloring secant Gauss-Seidel; the draw was pinned by a
+  systematic search over the faithful candidate space (rander48 seed x
+  DMPlex-numbering emulation x weight variant, filtered on the published
+  N=4/8 counts — one survivor, which then matched N=16..128 with no
+  further freedom). ``ops/ordering.py::ngs_parity_coloring`` reproduces
+  the published Picard column 16/63/194/635/1673/5135 at every size; the
+  production solvers sweep that coloring (``ColoredNGSSweeper``). The
+  study records the near-miss variants as the committed search log.
 
 Writes ``ordering_sensitivity.csv`` with one row per
 (dim, element, N, algorithm, ordering, pattern) combination.
@@ -31,7 +35,7 @@ from __future__ import annotations
 
 import csv
 from pathlib import Path
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -219,11 +223,26 @@ def ngs_coloring_case(N: int, weight: str, pattern: str) -> Tuple[int, int]:
     return its, int(colors.max()) + 1
 
 
+def ngs_parity_case(N: int) -> Tuple[int, int]:
+    """The pinned draw (``ops/ordering.py::ngs_parity_coloring``): PETSc's
+    default-seeded rander48 weights dealt along the emulated DMPlex
+    numbering (unreversed corner-rooted cell-CM, first-touch vertices).
+    Reproduces the published Picard counts 16/63/194/635/1673/5135
+    EXACTLY at every size. Returns (sweeps, ncolors)."""
+    from perphil_tpu.ops.ordering import colored_ngs_sweeps, ngs_parity_coloring
+
+    mesh, params, sysm, A, b, x0 = _setup(N, 2, True)
+    colors = ngs_parity_coloring(mesh)
+    its = colored_ngs_sweeps(A.tocsr(), b, x0, colors)
+    return its, int(colors.max()) + 1
+
+
 def run_ngs_coloring_study(
     sizes: List[int], out: Optional[Path] = None
 ) -> List[dict]:
-    """Sweep the faithful coloring re-draws; writes ``ngs_coloring.csv``
-    (the documented justification for the Picard-count residual gap)."""
+    """Sweep the faithful coloring re-draws plus the pinned parity draw;
+    writes ``ngs_coloring.csv`` (the committed search record behind the
+    exact Picard-count parity)."""
     rows: List[dict] = []
     for N in sizes:
         ref = REF_NGS_2D_FULL.get(N, "")
@@ -239,7 +258,12 @@ def run_ngs_coloring_study(
                     dict(N=N, variant=f"colored:{weight}/{pattern}",
                          ncolors=nc, its=its, reference_its=ref)
                 )
-        print(f"[ngs-coloring] N={N}: {rows[-5:]}", flush=True)
+        its, nc = ngs_parity_case(N)
+        rows.append(
+            dict(N=N, variant="colored:parity-pinned", ncolors=nc, its=its,
+                 reference_its=ref)
+        )
+        print(f"[ngs-coloring] N={N}: {rows[-6:]}", flush=True)
         if out is not None:
             save_csv(rows, out)
     return rows

@@ -1346,37 +1346,102 @@ def solve_dpp_nonlinear(
     return Solution(Function(W, (z1, z2)), int(its), float(fnorm))
 
 
+def _ngs_sweeper(mesh, params, dtype=None):
+    """Pick the SNES-ngs sweep implementation: the pinned-coloring
+    multicolor secant sweeper on quad meshes (exact reference Picard
+    counts — ``ops/ilu.py::ColoredNGSSweeper``); the sequential
+    lexicographic wavefront sweeper elsewhere, or everywhere when
+    ``PERPHIL_TPU_NGS_COLORING=0``."""
+    import os
+
+    from perphil_tpu.ops.ilu import ColoredNGSSweeper, GaussSeidelSweeper
+
+    if (
+        mesh.element == "quad"
+        and os.environ.get("PERPHIL_TPU_NGS_COLORING", "1") != "0"
+    ):
+        return ColoredNGSSweeper.for_monolithic(mesh, params, dtype=dtype)
+    return GaussSeidelSweeper.for_monolithic(mesh, params, dtype=dtype)
+
+
 def _build_ngs_solver_df(
     op: DPPOperator, flat: Dict, rtol: float, atol: float, max_it: int
 ) -> Callable:
     """Pointwise-GS Picard in mixed precision (the TPU default).
 
-    One GS sweep from iterate x equals x + e where e is one sweep *from
-    zero* on the error equation A e = r (both are affine with the same
-    linear part — exact identity). So the sweep itself runs in f32 (the
-    parallel-prefix (D+L) solve), while x and the residual are maintained
-    in double-float: iteration counts track the f64 trajectory and the
-    converged function norm is df-accurate, with no emulated-f64 work in
-    the loop.
+    Two modes:
+
+    - **Colored parity mode** (quad meshes): multicolor secant sweeps under
+      the pinned coloring draw (``ops/ordering.py::ngs_parity_coloring``),
+      carried END-TO-END in double-float — per color the residual is a df
+      matvec and the diagonal-secant step multiplies by a precomputed df
+      reciprocal (relative error ~6e-14). The trajectory is
+      f64-faithful, so the iteration counts reproduce the reference's
+      published Picard column EXACTLY (16/63/194/635/1673/5135), not just
+      to within f32 knife-edge drift.
+    - **Lexicographic mode** (other elements, or
+      ``PERPHIL_TPU_NGS_COLORING=0``): one GS sweep from iterate x equals
+      x + e where e is one sweep *from zero* on the error equation
+      A e = r (both are affine with the same linear part — exact
+      identity). The sweep itself runs in f32 (the parallel-prefix (D+L)
+      solve) while x and the residual stay double-float; counts track the
+      f64 trajectory to ±1 at knife edges.
     """
-    from perphil_tpu.ops.df32 import df_add, df_from_f64
-    from perphil_tpu.ops.dfvec import df_norm
-    from perphil_tpu.ops.ilu import GaussSeidelSweeper
+    import os
+
+    from perphil_tpu.ops.df32 import df_add, df_from_f64, df_mul
+    from perphil_tpu.ops.dfvec import df_norm, split64
 
     mesh = op.mesh
-    sweeper = GaussSeidelSweeper.for_monolithic(mesh, op.params, dtype=jnp.float32)
     shape = mesh.node_shape
     n = int(np.prod(shape))
     with_guess = bool(flat.get("_x0_continuation", False))
 
     def _residual_df(x_df, b_df):
-        # per-field df matvec on grid shapes
+        # per-field df matvec on grid shapes. The subtraction MUST be a df
+        # (two_sum-compensated) op: near convergence b ≈ A x cancels
+        # catastrophically, and a plain component-wise subtraction leaves
+        # the residual only f32-accurate — enough to drift iteration counts
+        # at knife edges (observed: N=8 converging one sweep early).
+        from perphil_tpu.ops.dfvec import df_vec_sub
+
         x1 = (x_df[0][:n].reshape(shape), x_df[1][:n].reshape(shape))
         x2 = (x_df[0][n:].reshape(shape), x_df[1][n:].reshape(shape))
         y1, y2 = op.matvec_df(x1, x2)
-        rh = b_df[0] - jnp.concatenate([y1[0].ravel(), y2[0].ravel()])
-        rl = b_df[1] - jnp.concatenate([y1[1].ravel(), y2[1].ravel()])
-        return rh, rl
+        yh = jnp.concatenate([y1[0].ravel(), y2[0].ravel()])
+        yl = jnp.concatenate([y1[1].ravel(), y2[1].ravel()])
+        return df_vec_sub(b_df, (yh, yl))
+
+    colored = (
+        mesh.element == "quad"
+        and os.environ.get("PERPHIL_TPU_NGS_COLORING", "1") != "0"
+    )
+    if colored:
+        from perphil_tpu.ops.ilu import build_monolithic_system
+        from perphil_tpu.ops.ordering import ngs_parity_coloring
+
+        sysm = build_monolithic_system(mesh, op.params)
+        diag64 = np.asarray(sysm.vals[:, sysm.center_index], dtype=np.float64)
+        rinv_df = split64(jnp.asarray(1.0 / diag64))
+        colors = ngs_parity_coloring(mesh)
+        masks = jnp.asarray(
+            np.stack([colors == c for c in range(int(colors.max()) + 1)]),
+            dtype=jnp.bool_,
+        )
+
+        def _df_sweep(x_df, b_df):
+            for c in range(int(masks.shape[0])):
+                r = _residual_df(x_df, b_df)
+                q = df_mul(r, rinv_df)
+                m = masks[c]
+                x_df = df_add(
+                    x_df,
+                    (jnp.where(m, q[0], 0.0), jnp.where(m, q[1], 0.0)),
+                )
+            return x_df
+
+    else:
+        sweeper = _ngs_sweeper(mesh, op.params, dtype=jnp.float32)
 
     def _ngs_from_df(x_df, b_df, tol, budget):
         # The residual is carried in the loop state: one matvec per Picard
@@ -1388,8 +1453,11 @@ def _build_ngs_solver_df(
 
         def body(state):
             x_df, its, fn, r = state
-            e = sweeper.sweep(jnp.zeros_like(r[0]), r[0] + r[1])
-            x_df = df_add(x_df, (e, jnp.zeros_like(e)))
+            if colored:
+                x_df = _df_sweep(x_df, b_df)
+            else:
+                e = sweeper.sweep(jnp.zeros_like(r[0]), r[0] + r[1])
+                x_df = df_add(x_df, (e, jnp.zeros_like(e)))
             r_new = _residual_df(x_df, b_df)
             return x_df, its + 1, df_norm(r_new), r_new
 
@@ -1475,17 +1543,17 @@ def _build_nonlinear_solver(
     if snes == "ngs":
         # PETSc's SNES "ngs" default is a coloring-based *pointwise* secant
         # Gauss-Seidel; the nested fieldsplit options in the reference's
-        # Picard presets are inert for it (parameters.py:71-95). We
-        # reproduce that algorithm (forward pointwise GS sweeps in natural
-        # ordering) so the reference's Picard iteration counts
-        # (16/63/194/635/1673/5135 for N=4..128) are matched to within the
-        # DoF-ordering difference.
-        from perphil_tpu.ops.ilu import GaussSeidelSweeper
-
+        # Picard presets are inert for it (parameters.py:71-95). On quad
+        # meshes we reproduce that algorithm exactly — multicolor secant
+        # sweeps under the pinned coloring draw
+        # (ops/ordering.py::ngs_parity_coloring) — so the reference's
+        # Picard iteration counts (16/63/194/635/1673/5135 for N=4..128,
+        # petsc_perf_breakdown-with-picard.csv) are matched EXACTLY;
+        # elsewhere, forward pointwise GS sweeps in natural ordering.
         if _ksp_mode() == "df32":
             return _build_ngs_solver_df(op, flat, rtol, atol, max_it)
 
-        sweeper = GaussSeidelSweeper.for_monolithic(mesh, params)
+        sweeper = _ngs_sweeper(mesh, params)
         mv = op.flat_matvec()
         shape = mesh.node_shape
         n = int(np.prod(shape))
