@@ -223,6 +223,11 @@ class PerfResult:
     memory: Optional[Dict[str, float]] = None
     time_total: float = 0.0
     time_total_repeats: float = 0.0
+    # first-class provenance column (not buried in the metadata blob):
+    # "tpu-chained"  — chip measurement, dispatch amortized by chaining
+    # "host-cpu"     — host-native C++ kernel path (ordering-parity ILU)
+    # "cpu-x64"      — CPU-backend fallback run (outage mode)
+    measurement_class: str = ""
 
     def to_dict(self) -> Dict[str, Any]:
         base = asdict(self)
@@ -900,8 +905,19 @@ def run_perf_once(
         memory=memory,
         time_total=wall_total / max(1, repeats),
         time_total_repeats=wall_total,
+        measurement_class=_measurement_class(solver),
     )
     return result
+
+
+def _measurement_class(solver) -> str:
+    """Provenance label for a profiled row (VERDICT r3 weak #7): host-native
+    solver paths are labeled host-cpu; device rows are tpu-chained on
+    TPU-class backends and cpu-x64 on the CPU fallback."""
+    if getattr(solver, "_host_only", False):
+        return "host-cpu"
+    dev = str(jax.devices()[0]).lower()
+    return "tpu-chained" if "tpu" in dev or "axon" in dev else "cpu-x64"
 
 
 def run_perf_sweep(

@@ -25,6 +25,7 @@ from perphil_tpu.experiments.profiling import (
     _device_memory_stats,
     _get_rss_kb,
     _matrix_info,
+    _measurement_class,
     _profile_with_events,
     save_perf_csv,
     splice_perf_csv,
@@ -142,6 +143,7 @@ def run_perf_once_3d(
         memory=memory,
         time_total=wall / max(1, repeats),
         time_total_repeats=wall,
+        measurement_class=_measurement_class(solver),
     )
 
 

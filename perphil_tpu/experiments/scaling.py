@@ -56,6 +56,10 @@ class ScalingRow:
     # k devices share one host's cores, so efficiencies are NOT indicative
     # of ICI scaling; "tpu" = real chips)
     platform: str = "unknown"
+    # first-class provenance column: "virtual-mesh-validation" rows carry
+    # physically meaningless efficiencies (time-sliced host cores) and must
+    # never be quoted as chip measurements; "tpu-chained" = real devices
+    measurement_class: str = ""
 
     def to_dict(self) -> Dict[str, Any]:
         return dict(self.__dict__)
@@ -152,6 +156,11 @@ def run_scaling(
                     speedup=speedup,
                     efficiency=eff,
                     platform=jax.devices()[0].platform,
+                    measurement_class=(
+                        "virtual-mesh-validation"
+                        if jax.devices()[0].platform == "cpu"
+                        else "tpu-chained"
+                    ),
                 )
                 rows.append(row)
                 print(

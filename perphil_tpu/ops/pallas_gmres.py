@@ -1,17 +1,20 @@
 """Fully fused Pallas GMRES for small problems: one kernel per SOLVE.
 
 Why: the df32 GMRES in ``ops/krylov.py`` runs each Arnoldi iteration as
-~30-50 separate XLA kernels, and on this backend EVERY XLA-level sequencing
-step is brutally expensive — measured floors (2026-08-17, axon/v5e): a
-trivial ``lax.scan`` step costs ~590 us, a pallas_call inside a scan ~7 ms,
-a cold single dispatch ~50 ms, while IN-KERNEL (Mosaic) loop iterations are
-nearly free (<0.1 us marginal; an empty 30-iteration kernel body times the
-same as the full GMRES body). The reference's CPU PETSc runs an iteration
-in ~7-80 us at small N (``/root/reference/notebooks/results-conforming-2d/
+~30-50 separate XLA kernels. On this backend the measured cost model
+(re-measured 2026-08-19; see CLAUDE.md) is dispatch-dominated: a warm
+dispatch costs a flat ~24 ms regardless of program size, in-program
+``lax.scan``/``while_loop`` trips are cheap but not free (~8 us marginal
+with a small matvec body, and a multi-kernel Krylov iteration pays that
+per XLA op), while IN-KERNEL (Mosaic) loop iterations are nearly free
+(<0.1 us marginal; an empty 30-iteration kernel body times the same as
+the full GMRES body). The reference's CPU PETSc runs an iteration in
+~7-80 us at small N (``/root/reference/notebooks/results-conforming-2d/
 petsc_profiling/petsc_perf_breakdown.csv``), which made unpreconditioned
 GMRES at 2D N in [8, 64] and 3D nx in [4, 8] the only solver cells still
 losing to the CPU baseline. The consequence is architectural: ALL
-sequential structure must live inside one kernel. This module runs the
+sequential structure must live inside one kernel, and whole solves must
+be chained inside one dispatch to amortize the flat ~24 ms. This module runs the
 ENTIRE GMRES(30) solve — outer restart loop (``lax.while_loop``), residual,
 matvec, double-float batched classical Gram-Schmidt, Givens rotations,
 triangular solve, solution update, convergence/divergence tests — as ONE
@@ -180,7 +183,11 @@ def _shift_sum_df(a, shifts):
     """Sum of zero-fill shifts of a df pair. The grouped-geometry stencil
     decomposition (see _Geometry.offsets) guarantees the images are
     disjoint on real data positions, so a componentwise add is exact —
-    at most one term is nonzero per element."""
+    at most one term is nonzero per element. An empty shift list (possible
+    only for degenerate single-plane 3D geometries, which _Geometry
+    cannot currently produce since node dims are >= 2) sums to zero."""
+    if not shifts:
+        return jnp.zeros_like(a[0]), jnp.zeros_like(a[1])
     out = _shift_df(a, *shifts[0])
     for dr, dc in shifts[1:]:
         nxt = _shift_df(a, dr, dc)

@@ -102,8 +102,15 @@ def notebooks(args):
     for nb in sorted((ROOT / "notebooks").glob("*.py")):
         if nb.name.startswith("_"):  # shared libraries, not studies
             continue
+        if nb.name == "compare_with_reference.py":
+            continue  # the report must run AFTER the CSVs regenerate
         print(f"=== {nb.name}")
         subprocess.run([sys.executable, str(nb)], check=True, env=env)
+    print("=== compare_with_reference.py")
+    subprocess.run(
+        [sys.executable, str(ROOT / "notebooks" / "compare_with_reference.py")],
+        check=True, env=env,
+    )
 
 
 @task
