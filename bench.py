@@ -200,21 +200,118 @@ def main() -> None:
 
     point = analyze_compiled("pipeline_64cube", pipeline, (g1, g2), t)
 
-    print(
-        json.dumps(
-            {
-                "metric": "3d_dpp_assemble_plus_direct_solve_64cube_hex",
-                "value": t,
-                "unit": "s",
-                "vs_baseline": BASELINE_MUMPS_3D_NX40_SECONDS / t,
-                "achieved_gflops": round(point.gflops, 1),
-                "achieved_gbs": round(point.gbs, 1),
-                "mfu_bf16_peak": round(point.mfu_bf16, 4),
-                "hbm_bw_frac": round(point.hbm_frac, 4),
-                "roofline_bound": point.bound,
-            }
+    record = {
+        "metric": "3d_dpp_assemble_plus_direct_solve_64cube_hex",
+        "value": t,
+        "unit": "s",
+        "vs_baseline": BASELINE_MUMPS_3D_NX40_SECONDS / t,
+        "achieved_gflops": round(point.gflops, 1),
+        "achieved_gbs": round(point.gbs, 1),
+        "mfu_bf16_peak": round(point.mfu_bf16, 4),
+        "hbm_bw_frac": round(point.hbm_frac, 4),
+        "roofline_bound": point.bound,
+    }
+    record.update(_northstar_128cube())
+    print(json.dumps(record))
+
+
+def _northstar_128cube() -> dict:
+    """The BASELINE north-star size: 128^3 hexes (4,293,378 DoF),
+    assemble+solve on one chip (BASELINE.md "TPU targets": >=10x the CPU
+    PETSc direct solve). Measured with the same chained protocol as the
+    headline; also writes the committed artifact
+    ``notebooks/results-conforming-3d/northstar_128cube.json`` that
+    README.md's claim cites. Failures degrade to null fields so the
+    primary 64^3 metric survives an OOM/outage here."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from perphil_tpu.forms import create_function_spaces, mixed_space
+    from perphil_tpu.forms.spaces import _evaluate
+    from perphil_tpu.mesh import create_cube_mesh
+    from perphil_tpu.models.dpp import DPPParameters
+    from perphil_tpu.ops.assembly import DPPOperator
+    from perphil_tpu.ops.df32 import df_from_f64, df_to_f64
+    from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+    from perphil_tpu.utils.roofline import analyze_compiled
+
+    K = 10
+    try:
+        N = 128
+        mesh = create_cube_mesh(N, N, N, hexahedral=True)
+        _, V = create_function_spaces(mesh)
+        W = mixed_space(V)
+        params = DPPParameters()
+        op = DPPOperator(W, params)
+        solver = MixedPrecisionDPPDirect(mesh, params)
+        _, p1e, _, p2e = exact_expressions_3d(mesh, params)
+        g1 = df_from_f64(_evaluate(p1e, mesh, ()))
+        g2 = df_from_f64(_evaluate(p2e, mesh, ()))
+
+        @jax.jit
+        def pipeline(g1, g2):
+            return solver.assemble_and_solve_df(g1, g2)
+
+        @jax.jit
+        def timed_chain(g1, g2):
+            def body(carry, _):
+                c1, c2 = carry
+                z1, z2 = solver.assemble_and_solve_df(c1, c2)
+                eps = jnp.float32(1e-30) * z1[0]
+                c1 = (c1[0] + eps, c1[1])
+                return (c1, c2), None
+
+            (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=K)
+            return jnp.sum(c1[0])
+
+        z1, z2 = pipeline(g1, g2)
+        float(timed_chain(g1, g2))  # warmup/compile
+        t0 = time.perf_counter()
+        s = float(timed_chain(g1, g2))
+        t = (time.perf_counter() - t0) / K
+        assert np.isfinite(s)
+
+        z1_64, z2_64 = df_to_f64(z1), df_to_f64(z2)
+        g1_64, g2_64 = df_to_f64(g1), df_to_f64(g2)
+        b1, b2 = op.lifted_rhs(g1_64, g2_64)
+        r1, r2 = op.residual(z1_64, z2_64, b1, b2)
+        rel = float(
+            jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2)).real
+            / jnp.sqrt(jnp.vdot(b1, b1) + jnp.vdot(b2, b2)).real
         )
-    )
+        point = analyze_compiled("pipeline_128cube", pipeline, (g1, g2), t)
+        art = {
+            "metric": "3d_dpp_assemble_plus_direct_solve_128cube_hex",
+            "value": t,
+            "unit": "s",
+            "dofs": int(W.dim()),
+            "rel_residual_f64": rel,
+            "vs_baseline_nx40_mumps": BASELINE_MUMPS_3D_NX40_SECONDS / t,
+            "chain_length": K,
+            "achieved_gflops": round(point.gflops, 1),
+            "achieved_gbs": round(point.gbs, 1),
+            "mfu_bf16_peak": round(point.mfu_bf16, 4),
+            "hbm_bw_frac": round(point.hbm_frac, 4),
+            "roofline_bound": point.bound,
+            "device": str(jax.devices()[0]),
+        }
+        out = (
+            pathlib.Path(__file__).parent
+            / "notebooks"
+            / "results-conforming-3d"
+            / "northstar_128cube.json"
+        )
+        out.write_text(json.dumps(art, indent=1) + "\n")
+        return {
+            "value_128cube": t,
+            "rel_residual_128cube": rel,
+            "hbm_bw_frac_128cube": round(point.hbm_frac, 4),
+        }
+    except Exception as e:  # OOM / outage: keep the primary metric alive
+        return {"value_128cube": None, "error_128cube": str(e)[:200]}
 
 
 if __name__ == "__main__":
