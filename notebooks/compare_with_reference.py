@@ -251,11 +251,12 @@ Across ALL {len(_speeds)} matched 2D+3D wall-clock cells the committed
 speedups span {smin:.2f}x-{smax:.0f}x; {n_sub1} cell(s) sit below 1x
 (minimum: {_smin_key[1]} at nx={_smin_key[0]}, {smin:.2f}x). The 2D N=32
 plain-GMRES cell ({_speed(n32_o, n32_r):.2f}x, {int(n32_o.iterations)}
-its vs reference {int(n32_r.iterations)}) pays for the fused kernel's
-in-kernel CGS2 double orthogonalization, kept so the published N=16 count
-({int(n16_o.iterations)}) matches PETSc's {int(n16_r.iterations)} exactly
-(`PERPHIL_TPU_FUSED_CGS2=0` selects single-pass CGS: faster, count drifts
-+1 at N=16). N=8 sits at {int(n8_o.iterations)} vs the reference's
+its vs reference {int(n32_r.iterations)}) runs the field-lane-packed
+kernel (halved VPU canvas) with in-kernel CGS2 double orthogonalization
+kept, so the published N=16 count ({int(n16_o.iterations)}) matches
+PETSc's {int(n16_r.iterations)} exactly (`PERPHIL_TPU_FUSED_CGS2=0`
+selects single-pass CGS: marginally faster, count drifts +1 at N=16).
+N=8 sits at {int(n8_o.iterations)} vs the reference's
 {int(n8_r.iterations)} under either variant — a documented
 convergence-boundary drift.""")
 

@@ -27,6 +27,20 @@ import jax  # noqa: E402  (import after env setup)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# The suite is XLA-compile-dominated (one host core): persist compiled
+# executables across runs. Cold run ~11 min; warm runs drop ~3x. The cache
+# directory is repo-local and gitignored; delete it to force recompiles.
+from pathlib import Path as _Path  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(_Path(__file__).parent / ".jax_compilation_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 

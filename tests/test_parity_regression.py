@@ -72,13 +72,17 @@ def test_fieldsplit_lu_always_4_iterations(N):
     assert sol.iteration_number == 4
 
 
-@pytest.mark.parametrize("N,expected", [(4, 5), (16, 11), (32, 20)])
+@pytest.mark.parametrize(
+    "N,expected",
+    [(4, 5), (16, 11), pytest.param(32, 20, marks=pytest.mark.slow)],
+)
 def test_gmres_ilu_iterations_match_reference(N, expected):
     mesh, W, params, bcs, *_ = _setup(N)
     sol = solve_dpp(W, params, bcs, solver_parameters=sp.GMRES_ILU_PARAMS)
     assert sol.iteration_number == expected
 
 
+@pytest.mark.slow
 def test_gmres_ilu_n64_exact_in_f64_parity_mode(monkeypatch):
     """The default f32 ILU application drifts +1 at N=64 (43 vs 42);
     PERPHIL_TPU_ILU_DTYPE=float64 is the documented exact-parity mode and
