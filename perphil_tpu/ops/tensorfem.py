@@ -90,6 +90,17 @@ def interior_eig_1d(p: int, cells: int, h: float) -> Tuple[np.ndarray, np.ndarra
     return np.ascontiguousarray(S), np.ascontiguousarray(lam)
 
 
+def _pad_identity(A: np.ndarray, pad: int) -> np.ndarray:
+    """Extend a 1D factor matrix with an identity phantom block and zero
+    cross-coupling: ``[[A, 0], [0, I]]`` — the padded dofs are exactly
+    inert in every tensor-product term (see TensorDPPOperator.padding)."""
+    n = A.shape[0]
+    out = np.zeros((n + pad, n + pad), dtype=A.dtype)
+    out[:n, :n] = A
+    out[n:, n:] = np.eye(pad, dtype=A.dtype)
+    return out
+
+
 def _apply_axis(u: jnp.ndarray, A: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Contract matrix A against one grid axis (dense matmul on the MXU)."""
     return jnp.moveaxis(
@@ -112,33 +123,67 @@ class TensorDPPOperator:
     mesh: StructuredMesh
     params: DPPParameters
     degree: int
+    # phantom padding per GRID axis (slowest-first, like dof_shape):
+    # identity 1D rows with ZERO coupling to the physical lattice, so
+    # padded dofs are exactly inert — real-row matrix entries referencing
+    # a phantom column vanish in every tensor term, residuals/iterates
+    # stay zero on the phantom slab, and Krylov trajectories are
+    # bit-identical to the unpadded problem (the sharded-path phantom
+    # padding, mirroring ops/assembly.py's Q1 convention).
+    padding: Tuple[int, ...] = ()
 
     def __post_init__(self):
         if not self.mesh.is_tensor_product:
             raise ValueError("Tensor-product degree-p spaces need quad/hex cells")
         if self.degree < 1:
             raise ValueError("degree must be >= 1")
+        pad = tuple(int(p) for p in self.padding) or (0,) * self.mesh.dim
+        if len(pad) != self.mesh.dim or any(p < 0 for p in pad):
+            raise ValueError(f"padding must be {self.mesh.dim} nonneg ints, got {self.padding}")
+        object.__setattr__(self, "padding", pad)
+
+    @property
+    def phys_shape(self) -> Tuple[int, ...]:
+        """The physical DoF lattice (no phantom rows)."""
+        return tuple(self.degree * c + 1 for c in reversed(self.mesh.cells))
 
     @property
     def dof_shape(self) -> Tuple[int, ...]:
-        return tuple(self.degree * c + 1 for c in reversed(self.mesh.cells))
+        return tuple(n + p for n, p in zip(self.phys_shape, self.padding))
+
+    @property
+    def phys_interior(self) -> Tuple[slice, ...]:
+        """Slices of the physical interior (excludes physical boundary AND
+        any phantom padding)."""
+        return tuple(slice(1, n - 1) for n in self.phys_shape)
 
     @cached_property
     def _mats(self) -> Tuple[Tuple[np.ndarray, np.ndarray], ...]:
-        """(K1, M1) per coordinate axis (x first)."""
-        return tuple(
-            assemble_1d(self.degree, c, h) for c, h in zip(self.mesh.cells, self.mesh.h)
-        )
+        """(K1, M1) per coordinate axis (x first), identity-extended over
+        any phantom padding on that axis."""
+        d = self.mesh.dim
+        out = []
+        for c_ax, (c, h) in enumerate(zip(self.mesh.cells, self.mesh.h)):
+            K1, M1 = assemble_1d(self.degree, c, h)
+            pad = self.padding[d - 1 - c_ax]  # grid axis for this coord axis
+            if pad:
+                K1 = _pad_identity(K1, pad)
+                M1 = _pad_identity(M1, pad)
+            out.append((K1, M1))
+        return tuple(out)
 
     @cached_property
     def boundary_mask(self) -> np.ndarray:
+        """Physical-boundary rows (identity/BC rows). Phantom slabs stay
+        unmarked: they are inert interior rows with zero data, not BCs."""
         shape = self.dof_shape
+        phys = self.phys_shape
         m = np.zeros(shape, dtype=bool)
         for ax in range(len(shape)):
             sl = [slice(None)] * len(shape)
             sl[ax] = 0
             m[tuple(sl)] = True
-            sl[ax] = -1
+            sl[ax] = phys[ax] - 1
             m[tuple(sl)] = True
         return m
 
@@ -210,6 +255,13 @@ class TensorFastDiagDPP:
     mesh: StructuredMesh
     params: DPPParameters
     degree: int
+    # phantom padding per grid axis (see TensorDPPOperator.padding):
+    # padded rows pass through as identity alongside the boundary rows
+    padding: Tuple[int, ...] = ()
+
+    def __post_init__(self):
+        pad = tuple(int(p) for p in self.padding) or (0,) * self.mesh.dim
+        object.__setattr__(self, "padding", pad)
 
     @cached_property
     def _eig(self):
@@ -244,9 +296,12 @@ class TensorFastDiagDPP:
         return out
 
     def solve(self, b1: jnp.ndarray, b2: jnp.ndarray):
-        """Solve on full DoF grids: boundary rows pass through as identity
-        (matching the eliminated operator), interior solved exactly."""
-        inner = tuple(slice(1, n - 1) for n in b1.shape)
+        """Solve on full DoF grids: boundary rows (and any phantom padding)
+        pass through as identity (matching the eliminated operator),
+        physical interior solved exactly."""
+        inner = tuple(
+            slice(1, n - p - 1) for n, p in zip(b1.shape, self.padding)
+        )
         a11, a22, det = (jnp.asarray(m, dtype=b1.dtype) for m in self._mode_data)
         a12 = -self.params.beta / self.params.mu
         f1h = self._transform(b1[inner], transpose=True)

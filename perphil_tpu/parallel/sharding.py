@@ -155,12 +155,6 @@ def sharded_solve_dpp(
     # DoFs live on the (possibly p-refined) lattice — pad/crop THAT grid
     dof_shape = W.spaces[0].dof_mesh.node_shape
     padding = mesh_padding(dof_shape, dmesh)
-    if any(padding) and W.spaces[0].degree > 1:
-        raise NotImplementedError(
-            "degree>1 sharded solves need a divisibility-matched DoF "
-            f"lattice {dof_shape} (phantom padding is wired for the "
-            "stencil/Q1 path only); choose N so p*N+1 divides the mesh axes"
-        )
     if any(padding):
         pads = [(0, p) for p in padding]
         g1 = jnp.pad(g1, pads)
@@ -170,7 +164,12 @@ def sharded_solve_dpp(
     if W.spaces[0].degree > 1:
         from perphil_tpu.solvers.solver import _build_tensor_linear_solver
 
-        solver = _build_tensor_linear_solver(W, model_params, _freeze(solver_parameters))
+        # degree-p lattices phantom-pad exactly like Q1: the padded 1D
+        # factor matrices carry inert identity blocks, so trajectories
+        # match the unpadded solve (TensorDPPOperator.padding)
+        solver = _build_tensor_linear_solver(
+            W, model_params, _freeze(solver_parameters), padding
+        )
     else:
         solver = _build_linear_solver(W, model_params, _freeze(solver_parameters), padding)
     z1, z2, its, rnorm = solver(g1, g2)

@@ -1041,25 +1041,29 @@ def _validate_mixed(W) -> None:
 
 @lru_cache(maxsize=64)
 def _build_tensor_linear_solver(
-    W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
+    W: MixedFunctionSpace,
+    params: DPPParameters,
+    frozen_sp: Tuple,
+    padding: Tuple[int, ...] = (),
 ) -> Callable:
     """Degree-p (Qp) linear solver on tensor-product meshes
     (``ops/tensorfem``): exact fast-diagonalization direct solve for
     preonly+lu, GMRES with none/jacobi/fieldsplit-LU preconditioning
     otherwise. ILU has no degree-p structured factorization and is
-    rejected explicitly."""
+    rejected explicitly. ``padding`` (per grid axis) enables the sharded
+    path's phantom rows — inert identity dofs, trajectories unchanged
+    (``TensorDPPOperator.padding``)."""
     from perphil_tpu.ops.krylov import gmres
     from perphil_tpu.ops.tensorfem import (
         TensorDPPOperator,
         TensorFastDiagDPP,
-        assemble_1d,
         interior_eig_1d,
     )
 
     flat = dict(frozen_sp)
     degree = W.spaces[0].degree
     mesh = W.mesh
-    op = TensorDPPOperator(mesh, params, degree)
+    op = TensorDPPOperator(mesh, params, degree, padding)
     ksp = str(flat.get("ksp_type", "preonly"))
     pc_type = str(flat.get("pc_type", "lu"))
     rtol = float(flat.get("ksp_rtol", 1e-5))
@@ -1077,7 +1081,7 @@ def _build_tensor_linear_solver(
     if ksp == "preonly":
         if pc_type != "lu":
             raise ValueError(f"degree-{degree} preonly supports pc_type=lu only")
-        direct = TensorFastDiagDPP(mesh, params, degree)
+        direct = TensorFastDiagDPP(mesh, params, degree, padding)
 
         def solve_direct(g1, g2):
             b1, b2 = op.lifted_rhs(g1, g2)
@@ -1093,10 +1097,10 @@ def _build_tensor_linear_solver(
     if pc_type in ("none", ""):
         pc = None
     elif pc_type == "jacobi":
-        # diagonal of the tensor operator from the 1D matrix diagonals
+        # diagonal of the tensor operator from the (padding-aware) 1D
+        # matrix diagonals
         dK, dM = [], []
-        for c, h in zip(mesh.cells, mesh.h):
-            K1, M1 = assemble_1d(degree, c, h)
+        for K1, M1 in op._mats:
             dK.append(np.diag(K1))
             dM.append(np.diag(M1))
         d = mesh.dim
@@ -1150,7 +1154,7 @@ def _build_tensor_linear_solver(
             return out
 
         def _block_solve(r, scale):
-            inner = tuple(slice(1, n - 1) for n in r.shape)
+            inner = op.phys_interior  # excludes phantom padding too
             fh = _tr(r[inner], True)
             z = _tr(fh / scale.astype(r.dtype), False)
             return r.at[inner].set(z)

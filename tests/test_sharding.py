@@ -94,12 +94,19 @@ def test_sharded_3d_direct_solve():
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-10
 
 
-def test_degree2_sharded_rejects_padding_clearly():
-    """Degree-p DoF lattices (p*N+1 nodes) are odd for even p — phantom
-    padding is Q1-only, so the sharded path must fail loudly, not
-    mis-build the stencil solver on the wrong lattice."""
-    import pytest
-
+@pytest.mark.parametrize(
+    "sp_dict",
+    [
+        {"ksp_type": "preonly", "pc_type": "lu"},
+        {"ksp_type": "gmres", "pc_type": "fieldsplit", "ksp_rtol": 1e-8},
+    ],
+    ids=["direct", "fieldsplit"],
+)
+def test_degree2_sharded_padding_matches_single_device(sp_dict):
+    """Degree-p DoF lattices (p*N+1 nodes, odd for even p) phantom-pad to
+    divisibility like Q1 (identity 1D factor blocks, inert phantom dofs):
+    the sharded solve matches the single-device one to solver tolerance
+    and — for the iterative path — with the identical iteration count."""
     from perphil_tpu.forms.spaces import FunctionSpace, mixed_space
     from perphil_tpu.models.dpp.parameters import DPPParameters
     from perphil_tpu.ops.assembly import DirichletBC
@@ -107,13 +114,18 @@ def test_degree2_sharded_rejects_padding_clearly():
 
     mesh = create_mesh(8, 8)
     V2 = FunctionSpace(mesh, degree=2)
-    W = mixed_space(V2)
+    W = mixed_space(V2)  # 17x17 DoF lattice: pads to 20x18 on a [4,2] mesh
     params = DPPParameters()
     _, p1e, _, p2e = exact_expressions(mesh, params)
     bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    ref = solve_dpp(W, params, bcs, solver_parameters=sp_dict)
     dm = device_mesh([4, 2], axis_names=("y", "x"))
-    with pytest.raises(NotImplementedError, match="lattice"):
-        sharded_solve_dpp(W, params, bcs, dm, {"ksp_type": "preonly", "pc_type": "lu"})
+    sol = sharded_solve_dpp(W, params, bcs, dm, solver_parameters=sp_dict)
+    assert sol.iteration_number == ref.iteration_number
+    for a, b in zip(sol.solution.data, ref.solution.data):
+        assert np.asarray(a).shape == np.asarray(b).shape  # cropped back
+        scale = np.abs(np.asarray(b)).max()
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-10
 
 
 @pytest.mark.slow
