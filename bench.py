@@ -11,7 +11,10 @@ residual-verified below 1e-11 relative in true float64 after timing.
 
 Timing protocol: the pipeline runs K times *inside one jitted lax.scan*
 with data-dependent chaining (no call can be elided) and a single scalar
-host readback at the end; reported value = total/K. This is robust against
+host readback at the end; reported value = the MARGINAL between a K-trip
+and a 2K-trip chain, (T(2K) - T(K)) / K — the flat ~24 ms dispatch cancels
+instead of being amortized into the figure (same doctrine as the profiling
+CSVs; PETSc's event clocks never see a dispatch layer). Robust against
 async-dispatch mirages (block_until_ready alone acks early through the
 axon TPU relay).
 
@@ -114,6 +117,27 @@ def _wait_for_device() -> bool:
         time.sleep(PROBE_INTERVAL)
 
 
+def _marginal_seconds(make_chain, args, K: int) -> float:
+    """Per-solve seconds as the marginal between K-trip and 2K-trip chains
+    (best of 3 each): the flat ~24 ms dispatch cancels exactly instead of
+    polluting the figure (CLAUDE.md cost model; K=20 would otherwise add a
+    ~1.2 ms phantom floor)."""
+    c1, c2 = make_chain(K), make_chain(2 * K)
+
+    def run(c):
+        float(c(*args))  # warmup / compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = float(c(*args))
+            best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(s)
+        return best
+
+    t1, t2 = run(c1), run(c2)
+    return max((t2 - t1) / K, 1e-9)
+
+
 def main() -> None:
     if not _wait_for_device():
         _emit_failure(
@@ -139,7 +163,9 @@ def main() -> None:
     probe_guard = _watchdog(300.0, "in-process warmup")
     jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
     probe_guard.cancel()
-    _watchdog(900.0, "benchmark")  # global cap for the whole run
+    # global cap for the whole run (the marginal protocol compiles two
+    # chain lengths per problem size: ~6 compiles total)
+    _watchdog(1800.0, "benchmark")
 
     N = 64
     mesh = create_cube_mesh(N, N, N, hexahedral=True)
@@ -157,28 +183,26 @@ def main() -> None:
     def pipeline(g1, g2):
         return solver.assemble_and_solve_df(g1, g2)
 
-    @jax.jit
-    def timed_chain(g1, g2):
-        # K dependent pipeline executions: each next run perturbs the
-        # boundary data by a negligible function of the previous solution,
-        # so nothing can be cached or elided.
-        def body(carry, _):
-            c1, c2 = carry
-            z1, z2 = solver.assemble_and_solve_df(c1, c2)
-            eps = jnp.float32(1e-30) * z1[0]
-            c1 = (c1[0] + eps, c1[1])
-            return (c1, c2), None
-        (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=K_TIMED)
-        return jnp.sum(c1[0])
+    def make_chain(length):
+        @jax.jit
+        def timed_chain(g1, g2):
+            # dependent pipeline executions: each next run perturbs the
+            # boundary data by a negligible function of the previous
+            # solution, so nothing can be cached or elided.
+            def body(carry, _):
+                c1, c2 = carry
+                z1, z2 = solver.assemble_and_solve_df(c1, c2)
+                eps = jnp.float32(1e-30) * z1[0]
+                c1 = (c1[0] + eps, c1[1])
+                return (c1, c2), None
 
-    # warmup / compile
-    z1, z2 = pipeline(g1, g2)
-    float(timed_chain(g1, g2))
+            (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=length)
+            return jnp.sum(c1[0])
 
-    t0 = time.perf_counter()
-    s = float(timed_chain(g1, g2))  # host readback = true completion
-    t = (time.perf_counter() - t0) / K_TIMED
-    assert np.isfinite(s)
+        return timed_chain
+
+    z1, z2 = pipeline(g1, g2)  # warmup / compile
+    t = _marginal_seconds(make_chain, (g1, g2), K_TIMED)
 
     # correctness guard in true float64, outside the timed region
     z1_64, z2_64 = df_to_f64(z1), df_to_f64(z2)
@@ -255,24 +279,23 @@ def _northstar_128cube() -> dict:
         def pipeline(g1, g2):
             return solver.assemble_and_solve_df(g1, g2)
 
-        @jax.jit
-        def timed_chain(g1, g2):
-            def body(carry, _):
-                c1, c2 = carry
-                z1, z2 = solver.assemble_and_solve_df(c1, c2)
-                eps = jnp.float32(1e-30) * z1[0]
-                c1 = (c1[0] + eps, c1[1])
-                return (c1, c2), None
+        def make_chain(length):
+            @jax.jit
+            def timed_chain(g1, g2):
+                def body(carry, _):
+                    c1, c2 = carry
+                    z1, z2 = solver.assemble_and_solve_df(c1, c2)
+                    eps = jnp.float32(1e-30) * z1[0]
+                    c1 = (c1[0] + eps, c1[1])
+                    return (c1, c2), None
 
-            (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=K)
-            return jnp.sum(c1[0])
+                (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=length)
+                return jnp.sum(c1[0])
 
-        z1, z2 = pipeline(g1, g2)
-        float(timed_chain(g1, g2))  # warmup/compile
-        t0 = time.perf_counter()
-        s = float(timed_chain(g1, g2))
-        t = (time.perf_counter() - t0) / K
-        assert np.isfinite(s)
+            return timed_chain
+
+        z1, z2 = pipeline(g1, g2)  # warmup / compile
+        t = _marginal_seconds(make_chain, (g1, g2), K)
 
         z1_64, z2_64 = df_to_f64(z1), df_to_f64(z2)
         g1_64, g2_64 = df_to_f64(g1), df_to_f64(g2)
