@@ -12,9 +12,11 @@ residual-verified below 1e-11 relative in true float64 after timing.
 Timing protocol: the pipeline runs K times *inside one jitted lax.scan*
 with data-dependent chaining (no call can be elided) and a single scalar
 host readback at the end; reported value = the MARGINAL between a K-trip
-and a 2K-trip chain, (T(2K) - T(K)) / K — the flat ~24 ms dispatch cancels
-instead of being amortized into the figure (same doctrine as the profiling
-CSVs; PETSc's event clocks never see a dispatch layer). Robust against
+and a 2K-trip chain, (T(2K) - T(K)) / K, with K auto-grown until the
+marginal window reaches >= 0.25 s — the flat ~24 ms dispatch cancels
+instead of being amortized into the figure, and few-ms dispatch jitter
+moves the figure <1% (perphil_tpu/utils/marginal.py holds the protocol;
+PETSc's event clocks never see a dispatch layer). Robust against
 async-dispatch mirages (block_until_ready alone acks early through the
 axon TPU relay).
 
@@ -30,10 +32,8 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
-
 BASELINE_MUMPS_3D_NX40_SECONDS = 18.56  # largest published 3D direct solve
-K_TIMED = 20
+K_PILOT = 20
 
 # Outage-resilience policy (VERDICT r2 #1): the axon tunnel's documented
 # outage mode lasts "an hour+"; a single 180 s probe gives up too early.
@@ -117,25 +117,93 @@ def _wait_for_device() -> bool:
         time.sleep(PROBE_INTERVAL)
 
 
-def _marginal_seconds(make_chain, args, K: int) -> float:
-    """Per-solve seconds as the marginal between K-trip and 2K-trip chains
-    (best of 3 each): the flat ~24 ms dispatch cancels exactly instead of
-    polluting the figure (CLAUDE.md cost model; K=20 would otherwise add a
-    ~1.2 ms phantom floor)."""
-    c1, c2 = make_chain(K), make_chain(2 * K)
+class _Case:
+    """One problem size: mesh, operator, solver, boundary data, the jitted
+    pipeline, and the chained-timing factory. Shared by the 64^3 headline
+    and the 128^3 north star so the protocol cannot diverge between them."""
 
-    def run(c):
-        float(c(*args))  # warmup / compile
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            s = float(c(*args))
-            best = min(best, time.perf_counter() - t0)
-            assert np.isfinite(s)
-        return best
+    def __init__(self, N: int):
+        import jax
+        import jax.numpy as jnp
 
-    t1, t2 = run(c1), run(c2)
-    return max((t2 - t1) / K, 1e-9)
+        from perphil_tpu.forms import create_function_spaces, mixed_space
+        from perphil_tpu.forms.spaces import _evaluate
+        from perphil_tpu.mesh import create_cube_mesh
+        from perphil_tpu.models.dpp import DPPParameters
+        from perphil_tpu.ops.assembly import DPPOperator
+        from perphil_tpu.ops.df32 import df_from_f64
+        from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
+        from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+
+        self.mesh = create_cube_mesh(N, N, N, hexahedral=True)
+        _, V = create_function_spaces(self.mesh)
+        self.W = mixed_space(V)
+        params = DPPParameters()
+        self.op = DPPOperator(self.W, params)
+        solver = MixedPrecisionDPPDirect(self.mesh, params)
+        self.solver = solver
+
+        _, p1e, _, p2e = exact_expressions_3d(self.mesh, params)
+        self.g1 = df_from_f64(_evaluate(p1e, self.mesh, ()))
+        self.g2 = df_from_f64(_evaluate(p2e, self.mesh, ()))
+
+        @jax.jit
+        def pipeline(g1, g2):
+            return solver.assemble_and_solve_df(g1, g2)
+
+        self.pipeline = pipeline
+
+        def make_chain(length):
+            @jax.jit
+            def timed_chain(g1, g2):
+                # dependent pipeline executions: each next run perturbs the
+                # boundary data by a negligible function of the previous
+                # solution, so nothing can be cached or elided.
+                def body(carry, _):
+                    c1, c2 = carry
+                    z1, z2 = solver.assemble_and_solve_df(c1, c2)
+                    eps = jnp.float32(1e-30) * z1[0]
+                    c1 = (c1[0] + eps, c1[1])
+                    return (c1, c2), None
+
+                (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=length)
+                return jnp.sum(c1[0])
+
+            return timed_chain
+
+        self.make_chain = make_chain
+
+    def measure(self, k_pilot: int) -> float:
+        from perphil_tpu.utils.marginal import chained_marginal
+
+        float(self.pipeline(self.g1, self.g2)[0][0].sum())  # warmup / compile
+        return chained_marginal(self.make_chain, (self.g1, self.g2), k_pilot)
+
+    def rel_residual_f64(self) -> float:
+        """True-float64 relative residual of the solve, outside timing."""
+        import jax.numpy as jnp
+
+        from perphil_tpu.ops.df32 import df_to_f64
+
+        z1, z2 = self.pipeline(self.g1, self.g2)
+        z1_64, z2_64 = df_to_f64(z1), df_to_f64(z2)
+        g1_64, g2_64 = df_to_f64(self.g1), df_to_f64(self.g2)
+        b1, b2 = self.op.lifted_rhs(g1_64, g2_64)
+        r1, r2 = self.op.residual(z1_64, z2_64, b1, b2)
+        return float(
+            jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2)).real
+            / jnp.sqrt(jnp.vdot(b1, b1) + jnp.vdot(b2, b2)).real
+        )
+
+    def roofline(self, t: float):
+        from perphil_tpu.utils.roofline import analyze_compiled
+
+        return analyze_compiled(
+            f"pipeline_{self.mesh.node_shape[0] - 1}cube",
+            self.pipeline,
+            (self.g1, self.g2),
+            t,
+        )
 
 
 def main() -> None:
@@ -149,14 +217,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from perphil_tpu.forms import create_function_spaces, mixed_space
-    from perphil_tpu.forms.spaces import _evaluate
-    from perphil_tpu.mesh import create_cube_mesh
-    from perphil_tpu.models.dpp import DPPParameters
-    from perphil_tpu.ops.assembly import DPPOperator
-    from perphil_tpu.ops.df32 import df_from_f64, df_to_f64
-    from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
-    from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+    from perphil_tpu.utils.marginal import MarginalTimingError
 
     # the subprocess probe succeeded; warm this process's own connection
     # under a watchdog (the tunnel can relapse between probe and run)
@@ -164,65 +225,24 @@ def main() -> None:
     jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
     probe_guard.cancel()
     # global cap for the whole run (the marginal protocol compiles two
-    # chain lengths per problem size: ~6 compiles total)
+    # chain lengths per K step; typically 2 K-steps per problem size)
     _watchdog(1800.0, "benchmark")
 
-    N = 64
-    mesh = create_cube_mesh(N, N, N, hexahedral=True)
-    _, V = create_function_spaces(mesh)
-    W = mixed_space(V)
-    params = DPPParameters()
-    op = DPPOperator(W, params)
-    solver = MixedPrecisionDPPDirect(mesh, params)
-
-    _, p1e, _, p2e = exact_expressions_3d(mesh, params)
-    g1 = df_from_f64(_evaluate(p1e, mesh, ()))
-    g2 = df_from_f64(_evaluate(p2e, mesh, ()))
-
-    @jax.jit
-    def pipeline(g1, g2):
-        return solver.assemble_and_solve_df(g1, g2)
-
-    def make_chain(length):
-        @jax.jit
-        def timed_chain(g1, g2):
-            # dependent pipeline executions: each next run perturbs the
-            # boundary data by a negligible function of the previous
-            # solution, so nothing can be cached or elided.
-            def body(carry, _):
-                c1, c2 = carry
-                z1, z2 = solver.assemble_and_solve_df(c1, c2)
-                eps = jnp.float32(1e-30) * z1[0]
-                c1 = (c1[0] + eps, c1[1])
-                return (c1, c2), None
-
-            (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=length)
-            return jnp.sum(c1[0])
-
-        return timed_chain
-
-    z1, z2 = pipeline(g1, g2)  # warmup / compile
-    t = _marginal_seconds(make_chain, (g1, g2), K_TIMED)
+    case = _Case(64)
+    try:
+        t = case.measure(K_PILOT)
+    except MarginalTimingError as e:
+        _emit_failure("marginal timing", str(e))
+        raise SystemExit(3)
 
     # correctness guard in true float64, outside the timed region
-    z1_64, z2_64 = df_to_f64(z1), df_to_f64(z2)
-    g1_64, g2_64 = df_to_f64(g1), df_to_f64(g2)
-    b1, b2 = op.lifted_rhs(g1_64, g2_64)
-    r1, r2 = op.residual(z1_64, z2_64, b1, b2)
-    import jax.numpy as jnp2
-
-    rel = float(
-        jnp2.sqrt(jnp2.vdot(r1, r1) + jnp2.vdot(r2, r2)).real
-        / jnp2.sqrt(jnp2.vdot(b1, b1) + jnp2.vdot(b2, b2)).real
-    )
+    rel = case.rel_residual_f64()
     assert rel < 1e-10, f"direct solve residual too large: {rel}"
 
     # roofline position: XLA's own flop/byte counts for the pipeline vs the
     # chip's peak compute / HBM bandwidth (VERDICT #7; docs/benchmarks.md
     # carries the full table)
-    from perphil_tpu.utils.roofline import analyze_compiled
-
-    point = analyze_compiled("pipeline_64cube", pipeline, (g1, g2), t)
+    point = case.roofline(t)
 
     record = {
         "metric": "3d_dpp_assemble_plus_direct_solve_64cube_hex",
@@ -242,7 +262,7 @@ def main() -> None:
 def _northstar_128cube() -> dict:
     """The BASELINE north-star size: 128^3 hexes (4,293,378 DoF),
     assemble+solve on one chip (BASELINE.md "TPU targets": >=10x the CPU
-    PETSc direct solve). Measured with the same chained protocol as the
+    PETSc direct solve). Measured with the same _Case protocol as the
     headline; also writes the committed artifact
     ``notebooks/results-conforming-3d/northstar_128cube.json`` that
     README.md's claim cites. Failures degrade to null fields so the
@@ -250,70 +270,19 @@ def _northstar_128cube() -> dict:
     import pathlib
 
     import jax
-    import jax.numpy as jnp
 
-    from perphil_tpu.forms import create_function_spaces, mixed_space
-    from perphil_tpu.forms.spaces import _evaluate
-    from perphil_tpu.mesh import create_cube_mesh
-    from perphil_tpu.models.dpp import DPPParameters
-    from perphil_tpu.ops.assembly import DPPOperator
-    from perphil_tpu.ops.df32 import df_from_f64, df_to_f64
-    from perphil_tpu.ops.mixed import MixedPrecisionDPPDirect
-    from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
-    from perphil_tpu.utils.roofline import analyze_compiled
-
-    K = 10
     try:
-        N = 128
-        mesh = create_cube_mesh(N, N, N, hexahedral=True)
-        _, V = create_function_spaces(mesh)
-        W = mixed_space(V)
-        params = DPPParameters()
-        op = DPPOperator(W, params)
-        solver = MixedPrecisionDPPDirect(mesh, params)
-        _, p1e, _, p2e = exact_expressions_3d(mesh, params)
-        g1 = df_from_f64(_evaluate(p1e, mesh, ()))
-        g2 = df_from_f64(_evaluate(p2e, mesh, ()))
-
-        @jax.jit
-        def pipeline(g1, g2):
-            return solver.assemble_and_solve_df(g1, g2)
-
-        def make_chain(length):
-            @jax.jit
-            def timed_chain(g1, g2):
-                def body(carry, _):
-                    c1, c2 = carry
-                    z1, z2 = solver.assemble_and_solve_df(c1, c2)
-                    eps = jnp.float32(1e-30) * z1[0]
-                    c1 = (c1[0] + eps, c1[1])
-                    return (c1, c2), None
-
-                (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=length)
-                return jnp.sum(c1[0])
-
-            return timed_chain
-
-        z1, z2 = pipeline(g1, g2)  # warmup / compile
-        t = _marginal_seconds(make_chain, (g1, g2), K)
-
-        z1_64, z2_64 = df_to_f64(z1), df_to_f64(z2)
-        g1_64, g2_64 = df_to_f64(g1), df_to_f64(g2)
-        b1, b2 = op.lifted_rhs(g1_64, g2_64)
-        r1, r2 = op.residual(z1_64, z2_64, b1, b2)
-        rel = float(
-            jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2)).real
-            / jnp.sqrt(jnp.vdot(b1, b1) + jnp.vdot(b2, b2)).real
-        )
-        point = analyze_compiled("pipeline_128cube", pipeline, (g1, g2), t)
+        case = _Case(128)
+        t = case.measure(10)
+        rel = case.rel_residual_f64()
+        point = case.roofline(t)
         art = {
             "metric": "3d_dpp_assemble_plus_direct_solve_128cube_hex",
             "value": t,
             "unit": "s",
-            "dofs": int(W.dim()),
+            "dofs": int(case.W.dim()),
             "rel_residual_f64": rel,
             "vs_baseline_nx40_mumps": BASELINE_MUMPS_3D_NX40_SECONDS / t,
-            "chain_length": K,
             "achieved_gflops": round(point.gflops, 1),
             "achieved_gbs": round(point.gbs, 1),
             "mfu_bf16_peak": round(point.mfu_bf16, 4),

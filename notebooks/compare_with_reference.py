@@ -253,12 +253,16 @@ speedups span {smin:.2f}x-{smax:.0f}x; {n_sub1} cell(s) sit below 1x
 plain-GMRES cell ({_speed(n32_o, n32_r):.2f}x, {int(n32_o.iterations)}
 its vs reference {int(n32_r.iterations)}) runs the field-lane-packed
 kernel (halved VPU canvas) with in-kernel CGS2 double orthogonalization
-kept, so the published N=16 count ({int(n16_o.iterations)}) matches
-PETSc's {int(n16_r.iterations)} exactly (`PERPHIL_TPU_FUSED_CGS2=0`
+kept, so the published N=16 count ({int(n16_o.iterations)})
+{"matches PETSc's " + str(int(n16_r.iterations)) + " exactly"
+ if int(n16_o.iterations) == int(n16_r.iterations)
+ else "DEVIATES from PETSc's " + str(int(n16_r.iterations))
+ + " — regenerate or re-document"} (`PERPHIL_TPU_FUSED_CGS2=0`
 selects single-pass CGS: marginally faster, count drifts +1 at N=16).
 N=8 sits at {int(n8_o.iterations)} vs the reference's
-{int(n8_r.iterations)} under either variant — a documented
-convergence-boundary drift.""")
+{int(n8_r.iterations)} under either variant{" — a documented convergence-boundary drift"
+ if int(n8_o.iterations) != int(n8_r.iterations) else
+ " — now matching exactly"}.""")
 
 # %% headline-kernel per-stage roofline (VERDICT r3 weak #2)
 _rl = HERE / "results-conforming-3d" / "roofline_stages_64cube.csv"

@@ -32,7 +32,6 @@ rows stay labeled ``measurement_class=host-cpu``.
 Usage: python -m perphil_tpu.experiments.levelsched_eval [cpu|tpu] nx...
 """
 import sys
-import time
 
 import numpy as np
 import jax
@@ -144,7 +143,9 @@ def run(nx, mode="cpu"):
     its = int(res.iterations)
     print(f"nx={nx}: its={its} (ref {REF[nx]}) conv={bool(res.converged)}", flush=True)
     if mode == "tpu":
-        # chained marginal timing
+        # chained marginal timing (shared protocol, utils/marginal.py)
+        from perphil_tpu.utils.marginal import chained_marginal
+
         def make(K):
             @jax.jit
             def chain(b):
@@ -155,17 +156,19 @@ def run(nx, mode="cpu"):
                 f, _ = jax.lax.scan(body, b, None, length=K)
                 return jnp.sum(f)
             return chain
-        K = 3
-        c1, c2 = make(K), make(2 * K)
-        float(c1(bj)); float(c2(bj))
-        t0 = time.perf_counter(); float(c1(bj)); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(c2(bj)); t2 = time.perf_counter() - t0
-        print(f"nx={nx}: per-solve marginal {(t2 - t1)/K*1e3:.1f} ms", flush=True)
+
+        t = chained_marginal(make, (bj,), 3)
+        print(f"nx={nx}: per-solve marginal {t*1e3:.1f} ms", flush=True)
 
 
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     mode = argv[0] if argv else "cpu"
+    if mode not in ("cpu", "tpu"):
+        raise SystemExit(
+            f"usage: python -m perphil_tpu.experiments.levelsched_eval "
+            f"cpu|tpu [nx ...] (got mode={mode!r})"
+        )
     if mode == "cpu":
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)

@@ -28,82 +28,24 @@ Usage: python -m perphil_tpu.experiments.roofline_stages [--size N] [--k K]
 from __future__ import annotations
 
 import csv
-import time
 from pathlib import Path
 from typing import Callable, List
 
-import numpy as np
+from perphil_tpu.utils.marginal import chained_marginal, fn_chain_maker
 
 
-def _keepalive_feedback(out, carry):
-    """Next-trip inputs as a negligible function of EVERY output leaf and
-    of every carry leaf: per-leaf sums keep all outputs live against DCE,
-    the full-array dependence through leaf 0 keeps the output materialized,
-    and perturbing every carry leaf defeats loop-invariant hoisting of
-    per-leaf subcomputations. The keep-alive sums add one fused reduction
-    per output leaf, so tiny-stage figures are mild UPPER bounds."""
-    import jax
-    import jax.numpy as jnp
-
-    lo = jax.tree_util.tree_leaves(out)
-    cl, treedef = jax.tree_util.tree_flatten(carry)
-    eps = jnp.float32(1e-30)
-    s = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in lo)
-    new = []
-    for i, c in enumerate(cl):
-        c = c + eps * s.astype(c.dtype)
-        if i == 0 and lo[0].shape == c.shape:
-            c = c + eps * lo[0].astype(c.dtype)
-        new.append(c)
-    return jax.tree_util.tree_unflatten(treedef, new)
-
-
-def _chain_timer(fn: Callable, args, K: int):
-    """Per-application seconds of ``fn`` from the MARGINAL between a
-    K-trip and a 2K-trip chained execution: (T(2K) - T(K)) / K. Dividing a
-    single chain by its length folds the flat ~24 ms dispatch into every
-    application (at K=20 that is a ~1.2 ms phantom floor per stage — the
-    round-3 small-N timing bug, see CLAUDE.md); the marginal cancels it.
-    ``K`` is adapted upward for fast stages so the marginal window is
-    >= ~0.25 s — far above the few-ms dispatch jitter."""
-    import jax
-    import jax.numpy as jnp
-
-    def make(length):
-        @jax.jit
-        def chain(*a):
-            def body(carry, _):
-                out = fn(*carry)
-                return _keepalive_feedback(out, carry), None
-
-            final, _ = jax.lax.scan(body, a, None, length=length)
-            return jnp.sum(jax.tree_util.tree_leaves(final)[0])
-
-        return chain
-
-    def run(c):
-        float(c(*args))  # warmup / compile
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            s = float(c(*args))
-            best = min(best, time.perf_counter() - t0)
-            assert np.isfinite(s)
-        return best
-
-    # pilot: rough per-trip cost (dispatch-inflated) -> marginal window K
-    t_pilot = run(make(K))
-    per_est = max(t_pilot / K, 1e-7)
-    K2 = int(min(4000, max(K, 0.25 / per_est)))
-    t1, t2 = run(make(K2)), run(make(2 * K2))
-    return max((t2 - t1) / K2, 1e-9)
+def _chain_timer(fn: Callable, args, K: int) -> float:
+    """Per-application seconds of ``fn`` via the shared chained-marginal
+    protocol (``utils/marginal.py``): K is grown from a DISPATCH-FREE pilot
+    marginal until the T(2K)-T(K) window reaches >= 0.25 s, so few-ms
+    dispatch jitter moves even the microsecond-scale stage figures <1%."""
+    return chained_marginal(fn_chain_maker(fn), args, K)
 
 
 def run(size: int = 64, K: int = 20) -> List[dict]:
     import jax
     import jax.numpy as jnp
 
-    from perphil_tpu.forms import create_function_spaces, mixed_space
     from perphil_tpu.forms.spaces import _evaluate
     from perphil_tpu.mesh import create_cube_mesh
     from perphil_tpu.models.dpp import DPPParameters
@@ -114,8 +56,6 @@ def run(size: int = 64, K: int = 20) -> List[dict]:
     from perphil_tpu.utils.roofline import analyze_compiled
 
     mesh = create_cube_mesh(size, size, size, hexahedral=True)
-    _, V = create_function_spaces(mesh)
-    mixed_space(V)
     params = DPPParameters()
     solver = MixedPrecisionDPPDirect(mesh, params)
     fast = solver._fast32
@@ -130,7 +70,6 @@ def run(size: int = 64, K: int = 20) -> List[dict]:
     f1i = b1f[inner]
     f2i = b2f[inner]
     mats = [S for (S, _) in fast._eig]
-    matsT = [jnp.asarray(S.T, jnp.float32) for S in mats]  # noqa: F841
 
     # ---- stage definitions: (name, fn, feedback, args) ----------------
     def rhs(g1, g2):

@@ -261,6 +261,12 @@ class TensorFastDiagDPP:
 
     def __post_init__(self):
         pad = tuple(int(p) for p in self.padding) or (0,) * self.mesh.dim
+        if len(pad) != self.mesh.dim or any(p < 0 for p in pad):
+            # same check as TensorDPPOperator: a wrong-length tuple would
+            # otherwise silently truncate solve()'s zip over interior slices
+            raise ValueError(
+                f"padding must be {self.mesh.dim} nonneg ints, got {self.padding}"
+            )
         object.__setattr__(self, "padding", pad)
 
     @cached_property

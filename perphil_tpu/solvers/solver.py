@@ -1433,9 +1433,14 @@ def _build_ngs_solver_df(
             dtype=jnp.bool_,
         )
 
-        def _df_sweep(x_df, b_df):
+        def _df_sweep(x_df, b_df, r):
+            # ``r`` is the residual at the incoming ``x_df`` — the loop
+            # already carries it (it served the convergence test), so
+            # color 0 reuses it instead of recomputing the identical df
+            # matvec; colors 1.. recompute after each partial update.
             for c in range(int(masks.shape[0])):
-                r = _residual_df(x_df, b_df)
+                if c > 0:
+                    r = _residual_df(x_df, b_df)
                 q = df_mul(r, rinv_df)
                 m = masks[c]
                 x_df = df_add(
@@ -1458,7 +1463,7 @@ def _build_ngs_solver_df(
         def body(state):
             x_df, its, fn, r = state
             if colored:
-                x_df = _df_sweep(x_df, b_df)
+                x_df = _df_sweep(x_df, b_df, r)
             else:
                 e = sweeper.sweep(jnp.zeros_like(r[0]), r[0] + r[1])
                 x_df = df_add(x_df, (e, jnp.zeros_like(e)))

@@ -6,7 +6,7 @@ ordering-parity rows stay host-cpu; docs/design.md section 6.2)."""
 
 import pytest
 
-from perphil_tpu.experiments.levelsched_eval import REF, build, run
+from perphil_tpu.experiments.levelsched_eval import REF, run
 
 
 @pytest.mark.parametrize("nx", [4, 8])
