@@ -294,12 +294,18 @@ the round-3 `hbm_bw_frac` 0.246 carried ~30% amortized dispatch):
   kernels keep intermediates VMEM-resident, i.e. XLA's "bytes accessed"
   OVERCOUNTS true HBM traffic and the whole-pipeline
   {pipe.hbm_frac:.0%} is a LOWER bound on real utilization.
-- The measured ceiling: ~{(d["df_residual"].seconds + d["f32_direct"].seconds) * refit / pipe.seconds:.0%}
-  of the wall is the double-float refinement loop the f64-accuracy
-  contract requires (each pass = one df stencil residual + one f32
-  fast-diag solve, both individually at/above the XLA-byte memory roof).
-  Cutting deeper means relaxing the 1e-11 accuracy contract, not better
-  scheduling.""")
+- The refinement loop (df residual + f32 correction solve, ~{(d["df_residual"].seconds + d["f32_direct"].seconds) * refit / pipe.seconds:.0%}
+  of the wall) is what the f64-accuracy contract costs. Round 3's table
+  had the df stencil stages ~2.6x slower and concluded the pipeline was
+  op-bound on EFT arithmetic; the pow2-factored exact-product df apply
+  (`ops/df32.py::df_apply_stencil` fast path: uniform-grid Q1 stencils
+  factor as `c * signed-powers-of-two`, making every tap product exact
+  and eliminating per-tap two_prods) removed that bound WITHOUT touching
+  the accuracy contract (128^3 residual still ~2e-18). What remains is
+  genuinely memory-bound: the pipeline sits at {pipe.hbm_frac:.0%} of the
+  physical HBM roof, with the f32 fast-diag solve
+  ({d["f32_direct"].hbm_frac:.0%} of roof, MXU transform passes) the
+  largest remaining stage.""")
 
 # %%
 OUT.parent.mkdir(exist_ok=True)

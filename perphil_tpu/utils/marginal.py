@@ -16,9 +16,10 @@ exactly. Three rules, all enforced here so callers cannot diverge:
    loop grows K until the measured window reaches ``window`` seconds
    (default 0.25 s, ~100x the few-ms jitter), so a +-1 ms wobble between
    the two chains moves the figure <1%.
-3. **A non-positive marginal is a failed measurement, not a number.**
-   Callers get a ``MarginalTimingError`` instead of a silently clamped
-   epsilon (which once turned jitter into a 1.8e10x "speedup").
+3. **A jitter-scale marginal is a failed measurement, not a number.**
+   Callers get a ``MarginalTimingError`` when the window comes out
+   non-positive OR stays sub-window at the K cap, instead of a silently
+   clamped epsilon (which once turned jitter into a 1.8e10x "speedup").
 
 Used by ``bench.py``, ``experiments/roofline_stages.py``,
 ``experiments/levelsched_eval.py``; the profiling CSV drivers implement the
@@ -86,6 +87,16 @@ def chained_marginal(
         raise MarginalTimingError(
             f"non-positive marginal at K={K}: T(K)={t1:.4f}s >= T(2K)={t2:.4f}s "
             "(dispatch jitter exceeded the window; re-run)"
+        )
+    if gap < 0.8 * window and K >= k_max:
+        # K maxed out before the window was reached: the gap is jitter-scale
+        # and indistinguishable from noise — a tiny POSITIVE jitter here
+        # would otherwise report a garbage per-trip figure.
+        raise MarginalTimingError(
+            f"marginal window unreachable: T(2K)-T(K)={gap:.4f}s < "
+            f"{0.8 * window:.3f}s at the K cap ({k_max}); raise k_max or "
+            "accept that the per-application cost is below measurement "
+            "resolution"
         )
     return gap / K
 

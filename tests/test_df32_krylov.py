@@ -100,7 +100,9 @@ def test_df32_ngs_count_matches_native(monkeypatch):
     from perphil_tpu.utils.manufactured_solutions import exact_expressions
 
     params = DPPParameters()
-    mesh = create_mesh(8, 8)
+    # N=4 (pinned golden count 16) keeps this fast-set item cheap; the
+    # N=8 count (63) is covered by the regression suite's Picard column
+    mesh = create_mesh(4, 4)
     _, V = create_function_spaces(mesh)
     W = mixed_space(V)
     _, p1e, _, p2e = exact_expressions(mesh, params)
@@ -179,18 +181,19 @@ def test_krylov_batch_equivalence():
         hi = h.astype(jnp.float32)
         return hi, (h - hi.astype(jnp.float64)).astype(jnp.float32)
 
+    # one batch size per solver keeps the masked-batch path covered while
+    # halving the (cold-cache-dominant) compile count; k=3 on GMRES and
+    # k=4 on CG cover both a restart-non-divisor and a power-of-two batch
     ref = gmres_df(mv, bdf, rtol=1e-10, restart=30, max_it=500, batch=1)
     xr = np.asarray(ref.x[0], np.float64) + np.asarray(ref.x[1], np.float64)
-    for k in (3, 4):
-        got = gmres_df(mv, bdf, rtol=1e-10, restart=30, max_it=500, batch=k)
-        assert int(got.iterations) == int(ref.iterations)
-        xg = np.asarray(got.x[0], np.float64) + np.asarray(got.x[1], np.float64)
-        np.testing.assert_allclose(xg, xr, rtol=0, atol=1e-7 * np.linalg.norm(xr))
+    got = gmres_df(mv, bdf, rtol=1e-10, restart=30, max_it=500, batch=3)
+    assert int(got.iterations) == int(ref.iterations)
+    xg = np.asarray(got.x[0], np.float64) + np.asarray(got.x[1], np.float64)
+    np.testing.assert_allclose(xg, xr, rtol=0, atol=1e-7 * np.linalg.norm(xr))
 
     x1, its1, _ = cg_df(mv, bdf, rtol=1e-10, max_it=500, batch=1)
     xr = np.asarray(x1[0], np.float64) + np.asarray(x1[1], np.float64)
-    for k in (3, 4):
-        xk, itsk, _ = cg_df(mv, bdf, rtol=1e-10, max_it=500, batch=k)
-        assert int(itsk) == int(its1)
-        xg = np.asarray(xk[0], np.float64) + np.asarray(xk[1], np.float64)
-        np.testing.assert_allclose(xg, xr, rtol=0, atol=1e-6 * np.linalg.norm(xr))
+    xk, itsk, _ = cg_df(mv, bdf, rtol=1e-10, max_it=500, batch=4)
+    assert int(itsk) == int(its1)
+    xg = np.asarray(xk[0], np.float64) + np.asarray(xk[1], np.float64)
+    np.testing.assert_allclose(xg, xr, rtol=0, atol=1e-6 * np.linalg.norm(xr))
