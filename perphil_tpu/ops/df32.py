@@ -207,15 +207,122 @@ def _pow2_factor(stencil: np.ndarray):
     return c, P
 
 
+def _dyadic_terms(m: float, max_bits: int = 3):
+    """Greedy nearest-pow2 expansion of a dyadic rational into signed
+    power-of-two terms (e.g. 3 -> [2, 1], 1.5 -> [1, 0.5], 1.75 ->
+    [2, -0.25]). Returns the term list, or None if ``m`` needs more than
+    ``max_bits`` terms. Each leading-pow2 subtraction is exact in f64
+    (Sterbenz: the remainder stays within a factor 2 of the subtrahend),
+    so a zero remainder certifies ``m == sum(terms)`` exactly."""
+    import math
+
+    terms = []
+    x = float(m)
+    for _ in range(max_bits):
+        if x == 0.0:
+            break
+        p = math.copysign(2.0 ** math.floor(math.log2(abs(x))), x)
+        if abs(x - 2.0 * p) < abs(x - p):  # nearest pow2, not floor
+            p *= 2.0
+        terms.append(p)
+        x -= p
+    if x != 0.0:
+        return None
+    return terms
+
+
+def dyadic_factor(
+    stencil: np.ndarray, max_bits: int = 3, noise_rel: float = 1e-14
+):
+    """Factor ``stencil == c * D + R`` (modulo dropped sub-noise taps):
+    the generalization of ``_pow2_factor`` that covers every stencil the
+    library produces.
+
+    - ``D``: the dyadic pattern — each nonzero a signed dyadic rational
+      with at most ``max_bits`` pow2 terms (``_dyadic_terms``), so every
+      per-term tap product is EXACT in f32. P1 tet ratios {1, 1.5, 6, 12}
+      and Q1 quad/hex ratios {1, 2, 4, 8, 16, 32, 64} all fit in 2 terms.
+    - ``R``: the residual stencil absorbing assembly-rounding ulps — e.g.
+      the 3D hex stiffness diagonal sums to 1 ulp off an exact 32x
+      multiple of the off-diagonal, which used to force the whole stencil
+      onto the general per-tap-EFT path. ``c*D + R`` reproduces each
+      significant entry to < 1 ulp of its own magnitude (R entries are a
+      few ulps of their tap, applied via the general split-EFT axpy).
+    - Entries below ``noise_rel * max|stencil|`` are DROPPED: they are
+      f64 cancellation noise from element-sum assembly (the P1 tet
+      stiffness stencil carries ~6 taps at ~5e-18 relative), ~30 orders
+      below the double-float unit roundoff — removing them perturbs the
+      applied operator by less than one f64 ulp while halving the tet
+      stiffness tap count.
+
+    Returns ``(c, D, R)`` (R is None when exactly zero), or None when any
+    significant tap is not within a few ulps of a ``max_bits``-dyadic
+    multiple of ``c`` (anisotropic/general stencils -> per-tap-EFT path).
+    """
+    st = np.asarray(stencil, np.float64)
+    amax = float(np.abs(st).max())
+    if amax == 0.0:
+        return None
+    sig = np.abs(st) > noise_rel * amax
+    if not sig.any():
+        return None
+    c = float(np.abs(st[sig]).min())
+    D = np.zeros_like(st)
+    R = np.zeros_like(st)
+    for idx in np.ndindex(st.shape):
+        v = float(st[idx])
+        if v == 0.0 or not sig[idx]:
+            continue
+        m = v / c
+        terms = _dyadic_terms(m, max_bits)
+        if terms is None:
+            # snap to the nearest max_bits-dyadic if within a few ulps
+            # (assembly rounding); otherwise the stencil is not dyadic
+            snapped = _dyadic_terms_snap(m, max_bits)
+            if snapped is None:
+                return None
+            terms = snapped
+        d = float(np.sum(np.asarray(terms, np.float64)))  # exact (dyadic)
+        r = v - c * d  # |r| <= few ulps of |v| -> the f64 sub is exact-ish
+        if abs(r) > 4e-15 * abs(v):
+            return None
+        D[idx] = d
+        if r != 0.0:
+            R[idx] = r
+    return c, D, (R if np.any(R) else None)
+
+
+def _dyadic_terms_snap(m: float, max_bits: int):
+    """Nearest ``max_bits``-term dyadic to ``m`` when ``m`` itself is a
+    few ulps off one (greedy expansion, remainder discarded if tiny)."""
+    import math
+
+    terms = []
+    x = float(m)
+    for _ in range(max_bits):
+        if x == 0.0:
+            break
+        p = math.copysign(2.0 ** math.floor(math.log2(abs(x))), x)
+        if abs(x - 2.0 * p) < abs(x - p):
+            p *= 2.0
+        terms.append(p)
+        x -= p
+    if abs(x) > 4e-15 * abs(m):
+        return None
+    return terms
+
+
 def df_apply_stencil(x: DF, stencil: np.ndarray) -> DF:
     """Apply a constant 3^d stencil (float64 weights) to a double-float grid,
     keeping ~49-bit accuracy — the fast replacement for the emulated-f64
     stencil matvec in residual computations.
 
-    Fast path (taken by every uniform-grid Q1 stencil in the library): when
-    the weights factor as ``c * (signed powers of two)``, each tap product
-    ``m * x`` is EXACT in f32, so the whole apply needs no per-tap two_prod —
-    only a two_sum accumulation cascade and ONE df scale by the factored-out
+    Fast path (taken by every uniform-grid stencil in the library — Q1
+    quad/hex AND P1 tri/tet, via ``dyadic_factor``): the weights factor as
+    ``c * dyadic + residual``, each dyadic pow2-term product ``t * x`` is
+    EXACT in f32, so the apply needs no per-tap two_prod — a two_sum
+    accumulation cascade per term, one lo product per tap, plain-f32
+    residual taps (ulp-grade weights), and ONE df scale by the factored-out
     ``c`` at the end. Measured 2.5-2.8x faster than the per-tap-EFT general
     path on the chip at 64^3, and slightly MORE accurate (9.0e-15 vs 1.2e-14
     worst-case relative on the hex K stencil) because the products carry no
@@ -227,19 +334,41 @@ def df_apply_stencil(x: DF, stencil: np.ndarray) -> DF:
     hi = jnp.pad(x[0], 1)
     lo = jnp.pad(x[1], 1)
 
-    fac = _pow2_factor(np.asarray(stencil, np.float64))
+    fac = dyadic_factor(np.asarray(stencil, np.float64))
     if fac is not None:
-        c, P = fac
+        c, D, R = fac
         s = jnp.zeros(shape, dtype=jnp.float32)
         e = jnp.zeros(shape, dtype=jnp.float32)
         for idx in itertools.product(range(3), repeat=d):
-            m = float(P[idx])
-            if m == 0.0:
+            m = float(D[idx])
+            r = 0.0 if R is None else float(R[idx])
+            if m == 0.0 and r == 0.0:
                 continue
             slices = tuple(slice(k, k + n) for k, n in zip(idx, shape))
-            p = jnp.float32(m) * hi[slices]  # exact: m is a signed pow2
-            s, err = two_sum(s, p)
-            e = e + (err + jnp.float32(m) * lo[slices])
+            hs = hi[slices]
+            terms = _dyadic_terms(m, 3) or ()
+            if len(terms) == 1 and r == 0.0:
+                # pure-pow2 tap: keep the exact accumulation order of the
+                # original pow2 fast path (bit-identical trajectories for
+                # every pow2-exact stencil, incl. all published Q1 cells)
+                p = jnp.float32(m) * hs  # exact: m is a signed pow2
+                s, err = two_sum(s, p)
+                e = e + (err + jnp.float32(m) * lo[slices])
+            else:
+                for t in terms:
+                    p = jnp.float32(t) * hs  # exact: t is a signed pow2
+                    s, err = two_sum(s, p)
+                    e = e + err
+                if m != 0.0:
+                    # one lo product per tap with the full dyadic weight
+                    # (its f32 rounding lands ~1e-21 relative)
+                    e = e + jnp.float32(m) * lo[slices]
+                if r != 0.0:
+                    # assembly-rounding residual (ulps of the tap): a
+                    # plain f32 product folded into the lo accumulator
+                    # pre-divided by c so the final scale below applies
+                    # uniformly
+                    e = e + jnp.float32(r / c) * hs
             s, e = fast_two_sum(s, e)  # keep |e| <= ulp(s): costs ~nothing
         c_hi = np.float32(c)
         c_lo = np.float32(c - float(c_hi))

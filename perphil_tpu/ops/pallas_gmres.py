@@ -56,9 +56,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from perphil_tpu.ops.df32 import (
-    _pow2_factor,
+    _dyadic_terms,
     df_add,
     df_sub,
+    dyadic_factor,
     fast_two_sum,
     two_prod,
     two_sum,
@@ -216,17 +217,75 @@ def _overlay_block(out, blk, r0: int, c0: int):
     return out + jnp.pad(blk, ((r0, R - r0 - h), (c0, C - c0 - w)))
 
 
-def _acc_pow2(acc, m: float, v):
-    """acc += m * v for a SIGNED-POWER-OF-TWO constant m (df pair arrays):
-    the product ``m * v`` is exact in f32, so no two_prod is needed — one
-    two_sum into the hi accumulator, the lo terms in plain f32, one
-    renormalization. The pow2-pattern analog of ``_axpy_const`` (same trick
-    as ``df32.df_apply_stencil``'s fast path; Mosaic-safe: adds/mults
-    only, no bitcasts)."""
-    p = jnp.float32(m) * v[0]
-    s, err = two_sum(acc[0], p)
-    e = acc[1] + (err + jnp.float32(m) * v[1])
+def _acc_tap(acc, entry, v):
+    """acc += (m + r/c) * v for one stencil tap in c-units (df pairs).
+
+    ``entry = (terms, m, r_over_c)`` from ``_stencil_applier``: ``terms``
+    are the signed pow2 components of the dyadic ratio ``m`` (each product
+    is EXACT in f32, so no two_prod is needed — one two_sum per term into
+    the hi accumulator), the lo product uses the full ``m`` in one f32
+    multiply (its rounding is lo-grade * 1e-7 ~ 1e-21 relative), and the
+    assembly-rounding residual ``r/c`` (ulps of the tap) is a plain f32
+    product folded into the lo accumulator. One renormalization per tap.
+    The dyadic-pattern analog of ``_axpy_const`` (same trick as
+    ``df32.df_apply_stencil``'s fast path; Mosaic-safe: adds/mults only,
+    no bitcasts)."""
+    terms, m, roc = entry
+    s, e = acc
+    if len(terms) == 1 and roc == 0.0:
+        # pure-pow2 tap: keep the exact accumulation order of the original
+        # pow2 fast path (bit-identical trajectories for every pow2-exact
+        # stencil, incl. all published 2D cells and the pow2-size hexes)
+        p = jnp.float32(m) * v[0]
+        s, err = two_sum(s, p)
+        e = e + (err + jnp.float32(m) * v[1])
+        return fast_two_sum(s, e)
+    for t in terms:
+        p = jnp.float32(t) * v[0]
+        s, err = two_sum(s, p)
+        e = e + err
+    if m != 0.0:
+        e = e + jnp.float32(m) * v[1]
+    if roc != 0.0:
+        e = e + jnp.float32(roc) * v[0]
     return fast_two_sum(s, e)
+
+
+def _stencil_applier(st: np.ndarray):
+    """Trace-time plan for applying a constant stencil to shifted df sums:
+    returns ``(scale, active, tap)`` where ``active`` is the set of stencil
+    indices with work and ``tap(acc, sidx, sh)`` accumulates that tap's
+    contribution, with the accumulator in ``scale``-units (the caller folds
+    ``scale`` into its final field weights).
+
+    Fast path (every uniform-grid Q1/P1 stencil — see
+    ``df32.dyadic_factor``): ``st = c * dyadic + residual`` with sub-noise
+    taps dropped, applied via ``_acc_tap``. General path (non-dyadic
+    stencils): per-tap split-constant EFT ``_axpy_const`` at scale 1."""
+    fac = dyadic_factor(st)
+    if fac is not None:
+        c, D, R = fac
+        plan = {}
+        for sidx in np.ndindex(st.shape):
+            m = float(D[sidx])
+            r = 0.0 if R is None else float(R[sidx])
+            if m == 0.0 and r == 0.0:
+                continue
+            plan[sidx] = (tuple(_dyadic_terms(m, 3) or ()), m, r / c)
+
+        def tap(acc, sidx, sh):
+            return _acc_tap(acc, plan[sidx], sh)
+
+        return c, frozenset(plan), tap
+
+    active = frozenset(  # pragma: no cover - no published config hits this
+        sidx for sidx in np.ndindex(st.shape) if float(st[sidx]) != 0.0
+    )
+
+    def tap_general(acc, sidx, sh):  # pragma: no cover
+        return _axpy_const(acc, float(st[sidx]), sh)
+
+    return 1.0, active, tap_general
 
 
 def _axpy_const(acc, w: float, v):
@@ -488,25 +547,18 @@ def build_packed_coupling(geo, op):
     bw = float(op.params.beta / op.params.mu)
     Rp, Wp, Fr = geo.Rp, geo.Wp, geo.Fr
 
-    # same pow2-factored exact tap loop as build_packed_matvec
-    M_fac = _pow2_factor(M_st)
-    if M_fac is not None:
-        cM, MT = M_fac
-        bs = bw * cM
-        _acc = _acc_pow2
-    else:  # pragma: no cover - no published configuration hits this
-        MT, bs = M_st, bw
-        _acc = _axpy_const
+    # same dyadic exact tap loop as build_packed_matvec
+    cM, actM, tapM = _stencil_applier(M_st)
+    bs = bw * cM
 
     def C(z, imask):
         zi = _df_mask(z, imask)
         zero = (jnp.zeros((Rp, Wp), jnp.float32), jnp.zeros((Rp, Wp), jnp.float32))
         Mz = zero
         for sidx, shifts in geo.offsets():
-            mw = float(MT[sidx])
-            if mw == 0.0:
+            if sidx not in actM:
                 continue
-            Mz = _acc(Mz, mw, _shift_sum_df(zi, shifts))
+            Mz = tapM(Mz, sidx, _shift_sum_df(zi, shifts))
         dr_f, dc_f = geo.field_shift
         sw = (_shift(Mz[0], -dr_f, -dc_f), _shift(Mz[1], -dr_f, -dc_f))
         out = _axpy_const(zero, -bs, sw)
@@ -530,20 +582,17 @@ def build_packed_matvec(geo, op, coupling: bool = True):
     k1w, k2w, bw = float(p.k1 / p.mu), float(p.k2 / p.mu), float(p.beta / p.mu)
     Rp, Wp, Fr = geo.Rp, geo.Wp, geo.Fr
 
-    # Pow2-factored exact-product tap loop (same trick as
-    # ``df32.df_apply_stencil``'s fast path): uniform-grid Q1 stencils
-    # factor as c * signed-pow2 pattern, so the per-tap accumulation needs
-    # no two_prod and the factored-out c folds into the (already present)
-    # final field scales. ~2x fewer VPU ops per matvec. Falls back to the
-    # general per-tap-EFT path for non-factorable (anisotropic) stencils.
-    K_fac, M_fac = _pow2_factor(K_st), _pow2_factor(M_st)
-    if K_fac is not None and M_fac is not None:
-        (cK, KT), (cM, MT) = K_fac, M_fac
-        k1s, k2s, bs = k1w * cK, k2w * cK, bw * cM
-        _acc = _acc_pow2
-    else:  # pragma: no cover - no published configuration hits this
-        KT, MT, k1s, k2s, bs = K_st, M_st, k1w, k2w, bw
-        _acc = _axpy_const
+    # Dyadic exact-product tap loop (same trick as
+    # ``df32.df_apply_stencil``'s fast path): every uniform-grid Q1/P1
+    # stencil factors as c * dyadic + ulp-residual (``dyadic_factor``), so
+    # the per-tap accumulation needs no two_prod — each pow2 term product
+    # is exact — and the factored-out c folds into the (already present)
+    # final field scales. ~2x fewer VPU ops per matvec (incl. dropping the
+    # P1-tet stiffness noise taps). Falls back to the general per-tap-EFT
+    # path for non-dyadic (anisotropic) stencils.
+    cK, actK, tapK = _stencil_applier(K_st)
+    cM, actM, tapM = _stencil_applier(M_st)
+    k1s, k2s, bs = k1w * cK, k2w * cK, bw * cM
 
     def _matvec(z, imask, bmask, fmask):
         zi = _df_mask(z, imask)
@@ -551,15 +600,13 @@ def build_packed_matvec(geo, op, coupling: bool = True):
         Kz = zero
         Mz = zero
         for sidx, shifts in geo.offsets():
-            kw = float(KT[sidx])
-            mw = float(MT[sidx])
-            if kw == 0.0 and mw == 0.0:
+            if sidx not in actK and sidx not in actM:
                 continue
             sh = _shift_sum_df(zi, shifts)
-            if kw != 0.0:
-                Kz = _acc(Kz, kw, sh)
-            if mw != 0.0:
-                Mz = _acc(Mz, mw, sh)
+            if sidx in actK:
+                Kz = tapK(Kz, sidx, sh)
+            if sidx in actM:
+                Mz = tapM(Mz, sidx, sh)
         Kz1 = _df_mask(Kz, fmask)
         Kz2 = _df_mask(Kz, 1.0 - fmask)
         y = zero

@@ -916,6 +916,34 @@ def _build_linear_solver(
     return _lifted_jit(solve_krylov, *_example_grids(op, 2))
 
 
+def _restart_residual_df(op) -> "Optional[Callable]":
+    """Optional high-precision restart-boundary residual for the df32 XLA
+    GMRES path (see ``ops/krylov.gmres_df``'s ``residual_df``).
+
+    PERPHIL_TPU_RESTART_RESIDUAL selects the mode:
+      - ``df32`` (default): keep the plain df residual (b - A x in df).
+      - ``f64``: evaluate b - A x in float64 (native on CPU; EMULATED and
+        therefore slow on TPU — an accuracy experiment / validation mode,
+        once per restart cycle).
+    """
+    import os
+
+    mode = os.environ.get("PERPHIL_TPU_RESTART_RESIDUAL", "df32").lower()
+    if mode in ("df32", "", "default"):
+        return None
+    if mode == "f64":
+        from perphil_tpu.ops.df32 import df_from_f64
+
+        def residual64(x_df, b_df):
+            x64 = x_df[0].astype(jnp.float64) + x_df[1].astype(jnp.float64)
+            b64 = b_df[0].astype(jnp.float64) + b_df[1].astype(jnp.float64)
+            a1, a2 = op.matvec(x64[0], x64[1])
+            return df_from_f64(b64 - jnp.stack([a1, a2]))
+
+        return residual64
+    raise ValueError(f"Unknown PERPHIL_TPU_RESTART_RESIDUAL mode: {mode!r}")
+
+
 def _build_linear_solver_df(
     op: DPPOperator, flat: Dict, rtol: float, atol: float, max_it: int, restart: int
 ) -> Callable:
@@ -981,9 +1009,12 @@ def _build_linear_solver_df(
                 op, b, x0_df=x0, restart=restart, pc_type=fused_pc, **kw
             )
     else:
+        residual_df = _restart_residual_df(op)
+
         def _gmres(b, x0, **kw):
             return gmres_df(
-                mv_df, b, x0_df=x0, restart=restart, M_inv_df=pc_df, **kw
+                mv_df, b, x0_df=x0, restart=restart, M_inv_df=pc_df,
+                residual_df=residual_df, **kw
             )
 
     def _stack(a, b):
