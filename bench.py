@@ -156,18 +156,30 @@ class _Case:
         def make_chain(length):
             @jax.jit
             def timed_chain(g1, g2):
-                # dependent pipeline executions: each next run perturbs the
-                # boundary data by a negligible function of the previous
-                # solution, so nothing can be cached or elided.
-                def body(carry, _):
-                    c1, c2 = carry
-                    z1, z2 = solver.assemble_and_solve_df(c1, c2)
-                    eps = jnp.float32(1e-30) * z1[0]
-                    c1 = (c1[0] + eps, c1[1])
-                    return (c1, c2), None
+                # Same chaining protocol as the profiling CSVs
+                # (experiments/profiling._chained_solve_wall): every trip
+                # re-solves the identical system behind an
+                # optimization_barrier carrying BOTH inputs and the
+                # previous output, so XLA can neither hoist loop-invariant
+                # subcomputations (e.g. the g2-side RHS assembly) out of
+                # the scan nor DCE any output leaf; the final reduction
+                # keeps all four solution leaves live.
+                out_sd = jax.eval_shape(solver.assemble_and_solve_df, g1, g2)
+                zeros = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), out_sd
+                )
 
-                (c1, _), _ = jax.lax.scan(body, (g1, g2), None, length=length)
-                return jnp.sum(c1[0])
+                def body(carry, _):
+                    c1, c2, _prev = carry
+                    out = solver.assemble_and_solve_df(c1, c2)
+                    return jax.lax.optimization_barrier((c1, c2, out)), None
+
+                (_, _, out), _ = jax.lax.scan(
+                    body, (g1, g2, zeros), None, length=length
+                )
+                return sum(
+                    jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out)
+                )
 
             return timed_chain
 

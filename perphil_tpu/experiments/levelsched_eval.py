@@ -141,7 +141,8 @@ def run(nx, mode="cpu"):
                                     max_it=2000, M_inv=pc, reorthogonalize=False))
     res = solve(bj)
     its = int(res.iterations)
-    print(f"nx={nx}: its={its} (ref {REF[nx]}) conv={bool(res.converged)}", flush=True)
+    ref = REF.get(nx, "n/a")
+    print(f"nx={nx}: its={its} (ref {ref}) conv={bool(res.converged)}", flush=True)
     if mode == "tpu":
         # chained marginal timing (shared protocol, utils/marginal.py)
         from perphil_tpu.utils.marginal import chained_marginal

@@ -186,34 +186,16 @@ def df_axpy_wf64(acc: DF, w64: float, v: DF) -> DF:
 # ---------------------------------------------------------------------------
 
 
-def _pow2_factor(stencil: np.ndarray):
-    """Factor ``stencil = c * P`` with every nonzero of ``P`` a signed power
-    of two, or return None. Q1 FEM stencils on uniform structured grids all
-    have this shape (hex: K ratios {-2,-1,32}, M ratios {1,4,16,64}); it is
-    what makes the fast path of ``df_apply_stencil`` exact."""
-    import math
-
-    nz = stencil[stencil != 0.0]
-    if nz.size == 0:
-        return None
-    c = float(np.abs(nz).min())
-    P = stencil / c
-    for m in np.abs(nz / c).ravel():
-        m = float(m)
-        if m != 2.0 ** round(math.log2(m)):
-            return None
-    if not np.array_equal(P * c, stencil):  # the factoring must be exact
-        return None
-    return c, P
-
-
-def _dyadic_terms(m: float, max_bits: int = 3):
+def _dyadic_terms(m: float, max_bits: int = 3, rel_tol: float = 0.0):
     """Greedy nearest-pow2 expansion of a dyadic rational into signed
     power-of-two terms (e.g. 3 -> [2, 1], 1.5 -> [1, 0.5], 1.75 ->
     [2, -0.25]). Returns the term list, or None if ``m`` needs more than
     ``max_bits`` terms. Each leading-pow2 subtraction is exact in f64
     (Sterbenz: the remainder stays within a factor 2 of the subtrahend),
-    so a zero remainder certifies ``m == sum(terms)`` exactly."""
+    so a zero remainder certifies ``m == sum(terms)`` exactly. A nonzero
+    ``rel_tol`` accepts (and discards) a remainder up to ``rel_tol * |m|``
+    — the snap-to-nearest-dyadic mode for ratios a few assembly-rounding
+    ulps off an exact dyadic."""
     import math
 
     terms = []
@@ -226,7 +208,7 @@ def _dyadic_terms(m: float, max_bits: int = 3):
             p *= 2.0
         terms.append(p)
         x -= p
-    if x != 0.0:
+    if abs(x) > rel_tol * abs(m):
         return None
     return terms
 
@@ -235,8 +217,8 @@ def dyadic_factor(
     stencil: np.ndarray, max_bits: int = 3, noise_rel: float = 1e-14
 ):
     """Factor ``stencil == c * D + R`` (modulo dropped sub-noise taps):
-    the generalization of ``_pow2_factor`` that covers every stencil the
-    library produces.
+    the factoring behind the fast stencil paths, covering every stencil
+    the library produces.
 
     - ``D``: the dyadic pattern — each nonzero a signed dyadic rational
       with at most ``max_bits`` pow2 terms (``_dyadic_terms``), so every
@@ -255,9 +237,12 @@ def dyadic_factor(
       applied operator by less than one f64 ulp while halving the tet
       stiffness tap count.
 
-    Returns ``(c, D, R)`` (R is None when exactly zero), or None when any
-    significant tap is not within a few ulps of a ``max_bits``-dyadic
-    multiple of ``c`` (anisotropic/general stencils -> per-tap-EFT path).
+    Returns ``(c, D, R, terms)`` — ``R`` is None when exactly zero and
+    ``terms`` maps each active tap index to the verified pow2-term tuple
+    of ``D[idx]`` (consumers apply these directly; no re-expansion) — or
+    None when any significant tap is not within a few ulps of a
+    ``max_bits``-dyadic multiple of ``c`` (anisotropic/general stencils
+    -> per-tap-EFT path).
     """
     st = np.asarray(stencil, np.float64)
     amax = float(np.abs(st).max())
@@ -269,47 +254,26 @@ def dyadic_factor(
     c = float(np.abs(st[sig]).min())
     D = np.zeros_like(st)
     R = np.zeros_like(st)
+    terms_by_tap = {}
     for idx in np.ndindex(st.shape):
         v = float(st[idx])
         if v == 0.0 or not sig[idx]:
             continue
         m = v / c
-        terms = _dyadic_terms(m, max_bits)
+        # snap to the nearest max_bits-dyadic within a few ulps (assembly
+        # rounding); an exact dyadic passes with a zero remainder
+        terms = _dyadic_terms(m, max_bits, rel_tol=4e-15)
         if terms is None:
-            # snap to the nearest max_bits-dyadic if within a few ulps
-            # (assembly rounding); otherwise the stencil is not dyadic
-            snapped = _dyadic_terms_snap(m, max_bits)
-            if snapped is None:
-                return None
-            terms = snapped
+            return None
         d = float(np.sum(np.asarray(terms, np.float64)))  # exact (dyadic)
         r = v - c * d  # |r| <= few ulps of |v| -> the f64 sub is exact-ish
         if abs(r) > 4e-15 * abs(v):
             return None
         D[idx] = d
+        terms_by_tap[idx] = tuple(terms)
         if r != 0.0:
             R[idx] = r
-    return c, D, (R if np.any(R) else None)
-
-
-def _dyadic_terms_snap(m: float, max_bits: int):
-    """Nearest ``max_bits``-term dyadic to ``m`` when ``m`` itself is a
-    few ulps off one (greedy expansion, remainder discarded if tiny)."""
-    import math
-
-    terms = []
-    x = float(m)
-    for _ in range(max_bits):
-        if x == 0.0:
-            break
-        p = math.copysign(2.0 ** math.floor(math.log2(abs(x))), x)
-        if abs(x - 2.0 * p) < abs(x - p):
-            p *= 2.0
-        terms.append(p)
-        x -= p
-    if abs(x) > 4e-15 * abs(m):
-        return None
-    return terms
+    return c, D, (R if np.any(R) else None), terms_by_tap
 
 
 def df_apply_stencil(x: DF, stencil: np.ndarray) -> DF:
@@ -336,7 +300,7 @@ def df_apply_stencil(x: DF, stencil: np.ndarray) -> DF:
 
     fac = dyadic_factor(np.asarray(stencil, np.float64))
     if fac is not None:
-        c, D, R = fac
+        c, D, R, terms_by_tap = fac
         s = jnp.zeros(shape, dtype=jnp.float32)
         e = jnp.zeros(shape, dtype=jnp.float32)
         for idx in itertools.product(range(3), repeat=d):
@@ -346,7 +310,7 @@ def df_apply_stencil(x: DF, stencil: np.ndarray) -> DF:
                 continue
             slices = tuple(slice(k, k + n) for k, n in zip(idx, shape))
             hs = hi[slices]
-            terms = _dyadic_terms(m, 3) or ()
+            terms = terms_by_tap.get(idx, ())
             if len(terms) == 1 and r == 0.0:
                 # pure-pow2 tap: keep the exact accumulation order of the
                 # original pow2 fast path (bit-identical trajectories for

@@ -606,6 +606,37 @@ def _wavefront_unroll() -> int:
     return max(1, int(os.environ.get("PERPHIL_TPU_WAVEFRONT_UNROLL", "4")))
 
 
+def _leveled_clip_sweep(
+    levels, vals, deltas, center, offs, rhs_ext, zext, nrows: int, scale_diag: bool
+):
+    """Shared wavefront kernel for the leveled clip-gather sweeps
+    (``StructuredILU0`` triangular solves and ``GaussSeidelSweeper``):
+    per level block, the block's rows update simultaneously as
+    ``acc = rhs[rows] - sum_t vals[rows, t] * z[clip(rows + deltas[t])]``
+    (invalid offsets carry zero vals, so the negative clip onto row 0 and
+    the OOB landing on the zero pad row contribute nothing), optionally
+    scaled by the diagonal. ``levels`` is ``(steps, unroll, width)``
+    padded with ``nrows``; ``rhs_ext``/``zext`` carry one zero pad row."""
+    diag_ext = jnp.concatenate([vals[:, center], jnp.ones(1, dtype=zext.dtype)])
+    unroll = int(levels.shape[1])
+
+    def step(z, rows_blk):
+        for u in range(unroll):
+            rows = rows_blk[u]
+            acc = rhs_ext[rows]
+            for t in offs:
+                cols = jnp.clip(rows + deltas[t], 0, nrows)
+                v = jnp.where(rows < nrows, vals[jnp.minimum(rows, nrows - 1), t], 0.0)
+                acc = acc - v * z[cols]
+            if scale_diag:
+                acc = acc / diag_ext[rows]
+            z = z.at[rows].set(jnp.where(rows < nrows, acc, z[rows]))
+        return z, None
+
+    zout, _ = jax.lax.scan(step, zext, levels)
+    return zout[:nrows]
+
+
 @dataclass(frozen=True)
 class StructuredILU0:
     """Compiled ILU(0) preconditioner application: z = U^{-1} L^{-1} r."""
@@ -657,26 +688,10 @@ class StructuredILU0:
         levels = self.levels[::-1, ::-1] if reverse else self.levels
         zext = jnp.concatenate([z0, jnp.zeros(1, dtype=rhs.dtype)])
         rhs_ext = jnp.concatenate([rhs, jnp.zeros(1, dtype=rhs.dtype)])
-        fac = self.factors
-        diag = fac[:, self.center]
-        diag_ext = jnp.concatenate([diag, jnp.ones(1, dtype=rhs.dtype)])
-        unroll = int(levels.shape[1])
-
-        def step(z, rows_blk):
-            for u in range(unroll):
-                rows = rows_blk[u]
-                acc = rhs_ext[rows]
-                for t in offs:
-                    cols = jnp.clip(rows + self.deltas[t], 0, nrows)
-                    v = jnp.where(rows < nrows, fac[jnp.minimum(rows, nrows - 1), t], 0.0)
-                    acc = acc - v * z[cols]
-                if scale_diag:
-                    acc = acc / diag_ext[rows]
-                z = z.at[rows].set(jnp.where(rows < nrows, acc, z[rows]))
-            return z, None
-
-        zout, _ = jax.lax.scan(step, zext, levels)
-        return zout[:nrows]
+        return _leveled_clip_sweep(
+            levels, self.factors, self.deltas, self.center,
+            offs, rhs_ext, zext, nrows, scale_diag,
+        )
 
     def apply_flat(self, r: jnp.ndarray) -> jnp.ndarray:
         """z = U^{-1} (L^{-1} r) with unit-lower L (computed in the factor
@@ -739,26 +754,11 @@ class GaussSeidelSweeper:
         nrows = x.shape[0]
         xext = jnp.concatenate([x, jnp.zeros(1, dtype=x.dtype)])
         b_ext = jnp.concatenate([b, jnp.zeros(1, dtype=x.dtype)])
-        vals = self.vals
-        diag = vals[:, self.center]
-        diag_ext = jnp.concatenate([diag, jnp.ones(1, dtype=x.dtype)])
         offs = tuple(t for t in range(len(self.deltas)) if t != self.center)
-        unroll = int(self.levels.shape[1])
-
-        def step(z, rows_blk):
-            for u in range(unroll):
-                rows = rows_blk[u]
-                acc = b_ext[rows]
-                for t in offs:
-                    cols = jnp.clip(rows + self.deltas[t], 0, nrows)
-                    v = jnp.where(rows < nrows, vals[jnp.minimum(rows, nrows - 1), t], 0.0)
-                    acc = acc - v * z[cols]
-                acc = acc / diag_ext[rows]
-                z = z.at[rows].set(jnp.where(rows < nrows, acc, z[rows]))
-            return z, None
-
-        zout, _ = jax.lax.scan(step, xext, self.levels)
-        return zout[:nrows]
+        return _leveled_clip_sweep(
+            self.levels, self.vals, self.deltas, self.center,
+            offs, b_ext, xext, nrows, scale_diag=True,
+        )
 
 
 @dataclass(frozen=True)
@@ -781,6 +781,12 @@ class ColoredNGSSweeper:
     one sweep is affine in (x, b) with fixed point b = A x, so the
     error-equation identity used by the mixed-precision Picard driver
     (sweep(x, b) = x + sweep(0, b - A x)) holds unchanged.
+
+    NOTE: the production df32 Picard driver carries a double-float twin of
+    this sweep (``solvers/solver._df_sweep``) — same pinned coloring, same
+    per-color diagonal-secant update. Any change to the sweep semantics
+    here must be mirrored there (and vice versa), or the parity-critical
+    published counts split between the native and df modes.
     """
 
     mesh: StructuredMesh

@@ -56,7 +56,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from perphil_tpu.ops.df32 import (
-    _dyadic_terms,
     df_add,
     df_sub,
     dyadic_factor,
@@ -264,14 +263,14 @@ def _stencil_applier(st: np.ndarray):
     stencils): per-tap split-constant EFT ``_axpy_const`` at scale 1."""
     fac = dyadic_factor(st)
     if fac is not None:
-        c, D, R = fac
+        c, D, R, terms_by_tap = fac
         plan = {}
         for sidx in np.ndindex(st.shape):
             m = float(D[sidx])
             r = 0.0 if R is None else float(R[sidx])
             if m == 0.0 and r == 0.0:
                 continue
-            plan[sidx] = (tuple(_dyadic_terms(m, 3) or ()), m, r / c)
+            plan[sidx] = (terms_by_tap.get(sidx, ()), m, r / c)
 
         def tap(acc, sidx, sh):
             return _acc_tap(acc, plan[sidx], sh)

@@ -1001,7 +1001,16 @@ def _build_linear_solver_df(
         fused_pc = "fieldsplit_lu"
     else:
         fused_pc = None
-    if fused_pc is not None and fused_gmres_supported(op, fused_pc):
+    # a restart-residual override is a validation mode: it forces the XLA
+    # path even at fused-kernel sizes (the fused kernel has no residual
+    # hook; silently ignoring the override there would report df32 counts
+    # as if they were the requested mode's)
+    residual_df = _restart_residual_df(op)
+    if (
+        fused_pc is not None
+        and residual_df is None
+        and fused_gmres_supported(op, fused_pc)
+    ):
         # small-problem fast path: the WHOLE solve is ONE Pallas kernel
         # (XLA-sequencing-bound at these sizes; see ops/pallas_gmres)
         def _gmres(b, x0, **kw):
@@ -1009,8 +1018,6 @@ def _build_linear_solver_df(
                 op, b, x0_df=x0, restart=restart, pc_type=fused_pc, **kw
             )
     else:
-        residual_df = _restart_residual_df(op)
-
         def _gmres(b, x0, **kw):
             return gmres_df(
                 mv_df, b, x0_df=x0, restart=restart, M_inv_df=pc_df,
@@ -1465,6 +1472,12 @@ def _build_ngs_solver_df(
         )
 
         def _df_sweep(x_df, b_df, r):
+            # df twin of ``ops/ilu.ColoredNGSSweeper.sweep`` (the f32/f64
+            # XLA path): SAME pinned coloring, SAME per-color
+            # diagonal-secant update — any change to the sweep semantics
+            # (color order, slope, residual reuse) must be mirrored there,
+            # or the parity-critical Picard counts (16/63/194/...) split
+            # between the df and native modes.
             # ``r`` is the residual at the incoming ``x_df`` — the loop
             # already carries it (it served the convergence test), so
             # color 0 reuses it instead of recomputing the identical df

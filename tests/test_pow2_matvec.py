@@ -28,7 +28,7 @@ from perphil_tpu.forms.spaces import create_function_spaces, mixed_space
 from perphil_tpu.mesh.structured import create_cube_mesh, create_mesh
 from perphil_tpu.ops.assembly import DPPOperator
 from perphil_tpu.ops import pallas_gmres as pg
-from perphil_tpu.ops.df32 import _dyadic_terms, dyadic_factor
+from perphil_tpu.ops.df32 import dyadic_factor
 from perphil_tpu.ops.stencil import compile_stencils
 
 KINDS = {
@@ -53,16 +53,16 @@ def test_library_stencils_dyadic_factor(kind):
         st = np.asarray(st, np.float64)
         fac = dyadic_factor(st)
         assert fac is not None
-        c, D, R = fac
+        c, D, R, terms_by_tap = fac
         back = c * D + (R if R is not None else 0.0)
         assert np.abs(back - st).max() <= 1e-13 * np.abs(st).max()
-        for d in D.ravel():
-            if d:
-                terms = _dyadic_terms(float(d), 3)
-                assert terms is not None
-                assert float(np.sum(terms)) == float(d)
-                nz = np.abs(np.asarray(terms))
-                assert np.all(nz == 2.0 ** np.round(np.log2(nz)))
+        for idx, terms in terms_by_tap.items():
+            assert float(np.sum(np.asarray(terms))) == float(D[idx])
+            nz = np.abs(np.asarray(terms))
+            assert np.all(nz == 2.0 ** np.round(np.log2(nz)))
+        assert set(terms_by_tap) == {
+            tuple(i) for i in np.argwhere(D != 0.0)
+        }
 
 
 def test_tet_stiffness_drops_noise_taps():
@@ -70,7 +70,7 @@ def test_tet_stiffness_drops_noise_taps():
     (~5e-18 relative); the factoring drops them, halving the tap count."""
     K_st, _ = compile_stencils(create_cube_mesh(6, 6, 6, hexahedral=False))
     st = np.asarray(K_st, np.float64)
-    c, D, R = dyadic_factor(st)
+    c, D, R, _ = dyadic_factor(st)
     assert int((D != 0).sum()) < int((st != 0).sum())
     dropped = (st != 0) & (D == 0)
     assert np.abs(st[dropped]).max() < 1e-14 * np.abs(st).max()
