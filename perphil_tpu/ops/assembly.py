@@ -237,6 +237,30 @@ class DPPOperator:
         b2 = jnp.where(bdry, g2, -a2)
         return b1, b2
 
+    def lifted_rhs_np(
+        self, g1: np.ndarray, g2: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Numpy mirror of :meth:`lifted_rhs`, for host-native solver paths
+        whose timed bodies must never dispatch to the device (the
+        ordering-parity ILU solve, ``solvers/solver.py``). Kept in lockstep
+        with the jnp version by
+        ``tests/test_ordering.py::test_host_lifted_rhs_matches_device``."""
+        from perphil_tpu.ops.stencil import apply_stencil_np
+
+        K_st, M_st = (np.asarray(s, dtype=np.float64) for s in self._stencils)
+        p = self.params
+        bdry = np.asarray(self._mask_arrays[0])
+        g1 = np.asarray(g1, dtype=np.float64)
+        g2 = np.asarray(g2, dtype=np.float64)
+        g1b = np.where(bdry, g1, 0.0)
+        g2b = np.where(bdry, g2, 0.0)
+        Kg1 = apply_stencil_np(g1b, K_st)
+        Kg2 = apply_stencil_np(g2b, K_st)
+        Mgd = apply_stencil_np(g1b - g2b, M_st)
+        a1 = float(p.k1 / p.mu) * Kg1 + float(p.beta / p.mu) * Mgd
+        a2 = float(p.k2 / p.mu) * Kg2 - float(p.beta / p.mu) * Mgd
+        return np.where(bdry, g1, -a1), np.where(bdry, g2, -a2)
+
     # -- flat-vector views (Krylov solvers store bases as flat vectors) ----
 
     def flat_matvec(self) -> Callable[[jnp.ndarray], jnp.ndarray]:

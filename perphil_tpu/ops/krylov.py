@@ -475,6 +475,7 @@ def cg_df(
     max_it: int = 10000,
     M_inv_df: Optional[Callable] = None,
     batch: Optional[int] = None,
+    conv_norm: str = "unpreconditioned",
 ):
     """Preconditioned CG on double-float vectors (see :func:`cg`).
 
@@ -482,6 +483,12 @@ def cg_df(
     CG steps per while-loop trip — identical iterates/counts, k× less
     per-trip sequencing overhead (the dominant cost of the SS-GMRES+ILU
     inner block solves on this backend).
+
+    ``conv_norm="preconditioned"`` tests convergence on ``||M⁻¹r||`` — the
+    left-preconditioned norm :func:`gmres_df` uses — so a CG solve can be
+    tolerance-matched as a drop-in for a preconditioned GMRES solve (the
+    fieldsplit inner-block substitution in ``solvers/solver.py``); the
+    default tests the true residual ``||r||``.
     """
     from perphil_tpu.ops.dfvec import (
         df_axpy64,
@@ -497,9 +504,17 @@ def cg_df(
         z = jnp.zeros(b_df[0].shape, dtype=f32)
         x0_df = (z, z)
 
+    if conv_norm not in ("unpreconditioned", "preconditioned"):
+        raise ValueError(f"Unsupported conv_norm: {conv_norm!r}")
+    precond_norm = conv_norm == "preconditioned"
+
+    def _conv_norm(r, z):
+        v = z if precond_norm else r
+        return jnp.sqrt(df_dot(v, v))
+
     r = df_vec_sub(b_df, A_df(x0_df))
     z = P(r)
-    rnorm0 = jnp.sqrt(df_dot(r, r))
+    rnorm0 = _conv_norm(r, z)
     tol = jnp.maximum(rtol * rnorm0, atol)
 
     def cond(state):
@@ -515,7 +530,7 @@ def cg_df(
         z = P(r)
         rz_new = df_dot(r, z)
         p_new = df_axpy64(z, rz_new / rz, p)
-        rnorm = jnp.sqrt(df_dot(r, r))
+        rnorm = _conv_norm(r, z)
         return x, r, z, p_new, rz_new, its + 1, rnorm
 
     def masked_body(state):

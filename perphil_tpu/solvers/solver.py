@@ -502,8 +502,11 @@ def _block_solver_df(fop: FieldOperator, sub: Dict[str, object]) -> Callable:
         # fused whole-solve kernel has used exactly this substitution all
         # along ("fieldsplit_ilu" in _build_linear_solver) with the outer
         # 4-iteration signature verified invariant; this extends it to the
-        # large-N XLA path. PERPHIL_TPU_INNER_KSP=gmres restores literal
-        # inner-GMRES semantics.
+        # large-N XLA path. conv_norm="preconditioned" makes the CG stop on
+        # the same left-preconditioned norm gmres_df tests (true-residual
+        # stopping would be a DIFFERENT effective tolerance under ILU).
+        # PERPHIL_TPU_INNER_KSP=gmres restores literal inner-GMRES
+        # semantics.
         import os
 
         if ksp == "gmres" and os.environ.get("PERPHIL_TPU_INNER_KSP") == "gmres":
@@ -516,11 +519,15 @@ def _block_solver_df(fop: FieldOperator, sub: Dict[str, object]) -> Callable:
                 return res.x
 
         else:
+            # substituting for gmres: stop on the left-preconditioned norm
+            # gmres_df would have tested; a literal ksp_type=cg keeps the
+            # true-residual test (cg_df's default)
+            norm = "preconditioned" if ksp == "gmres" else "unpreconditioned"
 
             def solve(b_df):
                 x, _, _ = cg_df(
                     fop.matvec_df, b_df, rtol=rtol, atol=atol, max_it=max_it,
-                    M_inv_df=pc,
+                    M_inv_df=pc, conv_norm=norm,
                 )
                 return x
 
@@ -760,35 +767,17 @@ def _build_host_parity_ilu_solver(
     )
     host_factors = None if native_solve is not None else od.host_ilu0(Ap)
 
-    # Host mirror of DPPOperator.lifted_rhs (ops/assembly.py:220-238): the
-    # timed solve body must never touch the device — one relayed dispatch
-    # costs a flat ~24 ms, 25x the nx=4 solve itself. Inputs are converted
-    # with np.asarray (a no-op when the profiling harness has already moved
-    # them to host; see run_perf_once's _host_only handling).
-    from perphil_tpu.ops.stencil import apply_stencil_np
-
-    K_st, M_st = (np.asarray(s, dtype=np.float64) for s in op._stencils)
-    bgrid = np.asarray(mesh.boundary_mask())
-    k1_mu, k2_mu, b_mu = (
-        float(params.k1 / params.mu),
-        float(params.k2 / params.mu),
-        float(params.beta / params.mu),
-    )
-
-    def _host_lifted_rhs(g1v, g2v):
-        g1b = np.where(bgrid, g1v, 0.0)
-        g2b = np.where(bgrid, g2v, 0.0)
-        Kg1 = apply_stencil_np(g1b, K_st)
-        Kg2 = apply_stencil_np(g2b, K_st)
-        Mgd = apply_stencil_np(g1b - g2b, M_st)
-        a1 = k1_mu * Kg1 + b_mu * Mgd
-        a2 = k2_mu * Kg2 - b_mu * Mgd
-        return np.where(bgrid, g1v, -a1), np.where(bgrid, g2v, -a2)
+    # The timed solve body must never touch the device — one relayed
+    # dispatch costs a flat ~24 ms, 25x the nx=4 solve itself. The BC lift
+    # runs through DPPOperator.lifted_rhs_np (the numpy mirror of the jnp
+    # op); inputs are converted with np.asarray (a no-op when the profiling
+    # harness has already moved them to host; see run_perf_once's
+    # _host_only handling).
 
     def solve_host(g1, g2):
         g1g = np.asarray(g1, dtype=np.float64)
         g2g = np.asarray(g2, dtype=np.float64)
-        b1, b2 = _host_lifted_rhs(g1g, g2g)
+        b1, b2 = op.lifted_rhs_np(g1g, g2g)
         b = np.concatenate([b1.ravel(), b2.ravel()])
         g1v = g1g.ravel()
         g2v = g2g.ravel()

@@ -197,3 +197,47 @@ def test_krylov_batch_equivalence():
     assert int(itsk) == int(its1)
     xg = np.asarray(xk[0], np.float64) + np.asarray(xk[1], np.float64)
     np.testing.assert_allclose(xg, xr, rtol=0, atol=1e-6 * np.linalg.norm(xr))
+
+
+def test_inner_block_pcg_matches_inner_gmres():
+    """The fieldsplit inner-block solver substitutes tolerance-matched
+    ILU-PCG for the preset's restarted GMRES (solvers/solver.py,
+    _block_solver_df). Fast-suite coverage of that default branch: on one
+    SPD block, the PCG solve must (a) run, (b) agree with the literal
+    inner-GMRES solve to the shared stopping tolerance, which both test on
+    the LEFT-PRECONDITIONED residual norm (cg_df conv_norm="preconditioned"
+    == gmres_df's norm)."""
+    from perphil_tpu.forms import create_function_spaces
+    from perphil_tpu.mesh import create_mesh
+    from perphil_tpu.models.dpp import DPPParameters
+    from perphil_tpu.ops.assembly import FieldOperator
+    from perphil_tpu.solvers.solver import _block_solver_df
+
+    params = DPPParameters()
+    mesh = create_mesh(8, 8)
+    _, V = create_function_spaces(mesh)
+    fop = FieldOperator(V, params.k1, params.beta, params.mu)
+
+    sub = {
+        "ksp_type": "gmres", "pc_type": "ilu",
+        "ksp_rtol": 1e-8, "ksp_atol": 1e-12, "ksp_max_it": 1000,
+    }
+    b = _rnd(fop.mesh.node_shape, 7)
+    bdry = np.asarray(fop.mesh.boundary_mask())
+    b = np.where(bdry, 0.0, b)  # interior load (BC rows are identity)
+    b_df = df_from_f64(jnp.asarray(b))
+
+    x_cg = _block_solver_df(fop, sub)(b_df)
+
+    import os
+
+    os.environ["PERPHIL_TPU_INNER_KSP"] = "gmres"
+    try:
+        x_gm = _block_solver_df(fop, sub)(b_df)
+    finally:
+        del os.environ["PERPHIL_TPU_INNER_KSP"]
+
+    cg = np.asarray(x_cg[0], dtype=np.float64) + np.asarray(x_cg[1], dtype=np.float64)
+    gm = np.asarray(x_gm[0], dtype=np.float64) + np.asarray(x_gm[1], dtype=np.float64)
+    scale = np.max(np.abs(gm))
+    assert np.max(np.abs(cg - gm)) <= 1e-6 * scale

@@ -115,22 +115,22 @@ def test_host_lifted_rhs_matches_device():
     g1 = rng.standard_normal(op.grid_shape)
     g2 = rng.standard_normal(op.grid_shape)
     b1_dev, b2_dev = op.lifted_rhs(jnp.asarray(g1), jnp.asarray(g2))
-
-    bgrid = np.asarray(mesh.boundary_mask())
-    K_st, M_st = (np.asarray(s, dtype=np.float64) for s in op._stencils)
-    g1b = np.where(bgrid, g1, 0.0)
-    g2b = np.where(bgrid, g2, 0.0)
-    a1 = (params.k1 / params.mu) * apply_stencil_np(g1b, K_st) + (
-        params.beta / params.mu
-    ) * apply_stencil_np(g1b - g2b, M_st)
-    a2 = (params.k2 / params.mu) * apply_stencil_np(g2b, K_st) - (
-        params.beta / params.mu
-    ) * apply_stencil_np(g1b - g2b, M_st)
-    b1 = np.where(bgrid, g1, -a1)
-    b2 = np.where(bgrid, g2, -a2)
+    # the PRODUCTION host mirror (what solve_host actually calls), not an
+    # inline re-derivation of the formula
+    b1, b2 = op.lifted_rhs_np(g1, g2)
 
     np.testing.assert_allclose(b1, np.asarray(b1_dev), rtol=0, atol=1e-13)
     np.testing.assert_allclose(b2, np.asarray(b2_dev), rtol=0, atol=1e-13)
+
+    # and apply_stencil_np itself stays in lockstep with apply_stencil
+    from perphil_tpu.ops.stencil import apply_stencil
+
+    K_st = np.asarray(op._stencils[0], dtype=np.float64)
+    np.testing.assert_allclose(
+        apply_stencil_np(g1, K_st),
+        np.asarray(apply_stencil(jnp.asarray(g1), K_st)),
+        rtol=0, atol=1e-13,
+    )
 
 
 def test_cell_rcm_parity_is_a_permutation():
