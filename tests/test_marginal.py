@@ -7,10 +7,9 @@ here with a simulated dispatch-dominated cost model, since the real
 failure mode (the axon relay's flat ~24 ms dispatch) is not
 reproducible on CPU."""
 
-import time
-
 import pytest
 
+from perphil_tpu.utils import marginal as marginal_mod
 from perphil_tpu.utils.marginal import (
     MarginalTimingError,
     chained_marginal,
@@ -19,13 +18,40 @@ from perphil_tpu.utils.marginal import (
 )
 
 
-def _fake_chain_maker(dispatch: float, per_trip: float):
-    """A make_chain whose chains cost dispatch + length*per_trip wall
+class _SimClock:
+    """Deterministic stand-in for the ``time`` module inside marginal.py.
+
+    The simulated-cost-model tests once used real ``time.sleep``, which
+    made them flaky on a loaded single-core host (scheduler overshoot on a
+    20 ms sleep can be several ms — the same jitter class the protocol
+    exists to defeat). Chains advance this clock by their modeled cost;
+    ``perf_counter`` reads it. Zero real waiting, zero load sensitivity.
+    """
+
+    def __init__(self):
+        self.now = 0.0
+
+    def perf_counter(self) -> float:
+        return self.now
+
+    def advance(self, dt: float) -> None:
+        self.now += dt
+
+
+@pytest.fixture
+def sim_clock(monkeypatch):
+    clock = _SimClock()
+    monkeypatch.setattr(marginal_mod, "time", clock)
+    return clock
+
+
+def _fake_chain_maker(clock: _SimClock, dispatch: float, per_trip: float):
+    """A make_chain whose chains cost dispatch + length*per_trip simulated
     seconds — the axon cost model in miniature."""
 
     def make(length):
         def chain():
-            time.sleep(dispatch + length * per_trip)
+            clock.advance(dispatch + length * per_trip)
             return 0.0
 
         return chain
@@ -33,21 +59,21 @@ def _fake_chain_maker(dispatch: float, per_trip: float):
     return make
 
 
-def test_marginal_cancels_flat_dispatch():
+def test_marginal_cancels_flat_dispatch(sim_clock):
     # dispatch is 100x the per-trip cost: naive T(K)/K at the pilot K
     # would read ~6x the true figure; the marginal must not.
     per = 2e-4
     t = chained_marginal(
-        _fake_chain_maker(dispatch=0.02, per_trip=per),
+        _fake_chain_maker(sim_clock, dispatch=0.02, per_trip=per),
         (),
         4,
         window=0.02,
         best_of=1,
     )
-    assert t == pytest.approx(per, rel=0.35)
+    assert t == pytest.approx(per, rel=1e-9)
 
 
-def test_k_grows_until_window_reached():
+def test_k_grows_until_window_reached(sim_clock):
     # per-trip so cheap that the pilot window is far below ``window``:
     # the loop must keep growing K instead of returning a jitter-scale
     # number.
@@ -57,23 +83,23 @@ def test_k_grows_until_window_reached():
         calls.append(length)
 
         def chain():
-            time.sleep(0.001 + length * 1e-5)
+            sim_clock.advance(0.001 + length * 1e-5)
             return 0.0
 
         return chain
 
     t = chained_marginal(make, (), 2, window=0.04, best_of=1)
     assert max(calls) >= 0.8 * 0.04 / 1e-5 / 2  # grew toward the target
-    assert t == pytest.approx(1e-5, rel=0.5)
+    assert t == pytest.approx(1e-5, rel=1e-9)
 
 
-def test_nonpositive_marginal_raises_not_clamps():
+def test_nonpositive_marginal_raises_not_clamps(sim_clock):
     # constant-time chains (pure jitter, no per-trip cost): the protocol
     # must refuse to report a number (a clamped epsilon once became a
     # 1.8e10x "speedup").
     with pytest.raises(MarginalTimingError):
         chained_marginal(
-            _fake_chain_maker(dispatch=0.003, per_trip=0.0),
+            _fake_chain_maker(sim_clock, dispatch=0.003, per_trip=0.0),
             (),
             1,
             window=0.05,
