@@ -233,16 +233,31 @@ class P2SimplexDPPOperator:
     Same block structure and conventions as the Q1 ``ops/assembly.py::
     DPPOperator`` (symmetric elimination, zero forcing), with fields stored
     on the refined DoF lattice ``(2N+1,)^d``.
+
+    ``padding`` appends phantom lattice entries at the high end of each
+    axis (the sharding divisibility mechanism, ``parallel/sharding.py::
+    mesh_padding``). Phantom rows ride the existing Dirichlet machinery:
+    they are marked boundary with zero data, so they are identity rows
+    with permanently-zero residual — Krylov trajectories and iteration
+    counts match the unpadded solve exactly. Real-node parities are
+    unaffected (padding never shifts indices) and real stencil reads into
+    the phantom region hit eliminated (zeroed) values.
     """
 
     mesh: StructuredMesh
     params: DPPParameters
+    padding: Tuple[int, ...] = ()
 
     def __post_init__(self):
         if self.mesh.is_tensor_product:
             raise ValueError(
                 "P2SimplexDPPOperator is for simplex meshes; tensor-product "
                 "cells use ops/tensorfem.TensorDPPOperator"
+            )
+        if self.padding and len(self.padding) != self.mesh.dim:
+            raise ValueError(
+                f"padding {self.padding} must have one entry per axis "
+                f"({self.mesh.dim})"
             )
 
     @cached_property
@@ -251,11 +266,20 @@ class P2SimplexDPPOperator:
 
     @property
     def dof_shape(self) -> Tuple[int, ...]:
-        return self.dof_mesh.node_shape
+        base = self.dof_mesh.node_shape
+        if not self.padding:
+            return base
+        return tuple(n + p for n, p in zip(base, self.padding))
 
     @cached_property
     def boundary_mask(self) -> np.ndarray:
-        return np.asarray(self.dof_mesh.boundary_mask())
+        mask = np.asarray(self.dof_mesh.boundary_mask())
+        if self.padding:
+            # phantom entries are identity rows: mark them boundary
+            mask = np.pad(
+                mask, [(0, p) for p in self.padding], constant_values=True
+            )
+        return mask
 
     @cached_property
     def _stencils(self) -> Tuple[np.ndarray, np.ndarray]:

@@ -161,7 +161,15 @@ def sharded_solve_dpp(
         g2 = jnp.pad(g2, pads)
     g1 = shard_grid(g1, dmesh)
     g2 = shard_grid(g2, dmesh)
-    if W.spaces[0].degree > 1:
+    if W.spaces[0].degree > 1 and not W.mesh.is_tensor_product:
+        from perphil_tpu.solvers.solver import _build_simplex_p2_linear_solver
+
+        # P2 simplex lattices phantom-pad through the boundary-mask
+        # machinery (identity phantom rows, P2SimplexDPPOperator.padding)
+        solver = _build_simplex_p2_linear_solver(
+            W, model_params, _freeze(solver_parameters), padding
+        )
+    elif W.spaces[0].degree > 1:
         from perphil_tpu.solvers.solver import _build_tensor_linear_solver
 
         # degree-p lattices phantom-pad exactly like Q1: the padded 1D

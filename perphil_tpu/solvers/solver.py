@@ -1266,19 +1266,24 @@ def _build_tensor_linear_solver(
 
 @lru_cache(maxsize=16)
 def _build_simplex_p2_linear_solver(
-    W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
+    W: MixedFunctionSpace,
+    params: DPPParameters,
+    frozen_sp: Tuple,
+    padding: Tuple[int, ...] = (),
 ) -> Callable:
     """P2 linear solver on simplex meshes (``ops/simplexfem``): GMRES with
     none/jacobi preconditioning on the parity-class stencil operator
     (device path), host sparse-LU for preonly+lu (the MUMPS role — simplex
-    P2 has no tensor fast-diagonalization structure)."""
+    P2 has no tensor fast-diagonalization structure). ``padding`` builds
+    the phantom-padded operator for sharded solves (identity phantom rows;
+    trajectories match the unpadded solve)."""
     from perphil_tpu.config import default_dtype
     from perphil_tpu.ops.krylov import gmres
     from perphil_tpu.ops.simplexfem import P2SimplexDPPOperator
 
     flat = dict(frozen_sp)
     mesh = W.mesh
-    op = P2SimplexDPPOperator(mesh, params)
+    op = P2SimplexDPPOperator(mesh, params, padding)
     ksp = str(flat.get("ksp_type", "preonly"))
     pc_type = str(flat.get("pc_type", "lu"))
     rtol = float(flat.get("ksp_rtol", 1e-5))
@@ -1289,6 +1294,13 @@ def _build_simplex_p2_linear_solver(
     n = int(np.prod(shape))
 
     if ksp == "preonly":
+        if any(padding):
+            raise NotImplementedError(
+                "P2 simplex preonly+lu is a host sparse-direct path "
+                "(scipy splu) with no SPMD partitioning; sharded P2 "
+                "simplex solves support ksp_type=gmres with "
+                "pc_type none/jacobi"
+            )
         if pc_type not in ("lu", "cholesky"):
             raise ValueError(f"P2 simplex preonly supports pc_type=lu, got {pc_type!r}")
         from scipy.sparse.linalg import splu

@@ -128,6 +128,90 @@ def test_degree2_sharded_padding_matches_single_device(sp_dict):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-10
 
 
+@pytest.mark.parametrize("pc", ["jacobi", "none"])
+def test_p2_simplex_sharded_matches_single_device(pc):
+    """P2 on simplex meshes shards through the boundary-mask phantom
+    padding (P2SimplexDPPOperator.padding: phantom lattice rows are
+    identity with zero data, so their residual is permanently zero):
+    identical iteration counts and machine-precision agreement with the
+    single-device solve."""
+    from perphil_tpu.forms.spaces import FunctionSpace, mixed_space
+    from perphil_tpu.models.dpp.parameters import DPPParameters
+    from perphil_tpu.ops.assembly import DirichletBC
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+    mesh = create_mesh(8, 8, quadrilateral=False)
+    V2 = FunctionSpace(mesh, degree=2)
+    W = mixed_space(V2)  # 17x17 refined lattice: pads to 20x18 on [4,2]
+    params = DPPParameters()
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    sp_dict = {"ksp_type": "gmres", "pc_type": pc, "ksp_rtol": 1e-8}
+    ref = solve_dpp(W, params, bcs, solver_parameters=sp_dict)
+    dm = device_mesh([4, 2], axis_names=("y", "x"))
+    sol = sharded_solve_dpp(W, params, bcs, dm, solver_parameters=sp_dict)
+    assert sol.iteration_number == ref.iteration_number
+    for a, b in zip(sol.solution.data, ref.solution.data):
+        assert np.asarray(a).shape == np.asarray(b).shape  # cropped back
+        scale = np.abs(np.asarray(b)).max()
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-12
+
+
+def test_p2_simplex_sharded_preonly_raises_clearly():
+    """The P2 simplex direct path is host scipy splu — no SPMD
+    partitioning. The sharded entry must say so instead of crashing in
+    the tensor-product builder (the pre-round-4 behavior)."""
+    from perphil_tpu.forms.spaces import FunctionSpace, mixed_space
+    from perphil_tpu.models.dpp.parameters import DPPParameters
+    from perphil_tpu.ops.assembly import DirichletBC
+
+    mesh = create_mesh(8, 8, quadrilateral=False)
+    W = mixed_space(FunctionSpace(mesh, degree=2))
+    bcs = [DirichletBC(W.sub(0), 1.0), DirichletBC(W.sub(1), 0.0)]
+    dm = device_mesh([4, 2], axis_names=("y", "x"))
+    with pytest.raises(NotImplementedError, match="sharded P2 simplex"):
+        sharded_solve_dpp(
+            W, DPPParameters(), bcs, dm,
+            solver_parameters={"ksp_type": "preonly", "pc_type": "lu"},
+        )
+
+
+def test_p2_simplex_padded_operator_matches_unpadded():
+    """Unit check at the ops level: the phantom-padded P2 operator agrees
+    with the unpadded one on the real region for matvec and lifted RHS,
+    and is exactly identity (with zero RHS) on the phantom region."""
+    from perphil_tpu.forms.spaces import FunctionSpace
+    from perphil_tpu.models.dpp.parameters import DPPParameters
+    from perphil_tpu.ops.simplexfem import P2SimplexDPPOperator
+
+    mesh = create_mesh(4, 4, quadrilateral=False)
+    V2 = FunctionSpace(mesh, degree=2)
+    shape = V2.dof_mesh.node_shape  # (9, 9)
+    pad = (3, 1)
+    params = DPPParameters()
+    op0 = P2SimplexDPPOperator(mesh, params)
+    opP = P2SimplexDPPOperator(mesh, params, pad)
+    rng = np.random.default_rng(0)
+    z1 = jnp.asarray(rng.standard_normal(shape))
+    z2 = jnp.asarray(rng.standard_normal(shape))
+    pads = [(0, p) for p in pad]
+    z1p, z2p = jnp.pad(z1, pads), jnp.pad(z2, pads)
+    crop = tuple(slice(0, n) for n in shape)
+    y1, y2 = op0.matvec(z1, z2)
+    y1p, y2p = opP.matvec(z1p, z2p)
+    np.testing.assert_allclose(np.asarray(y1p[crop]), np.asarray(y1), rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(y2p[crop]), np.asarray(y2), rtol=0, atol=1e-14)
+    # phantom rows: identity on the input (which is zero-padded here)
+    assert not np.asarray(y1p[shape[0]:, :]).any()
+    assert not np.asarray(y1p[:, shape[1]:]).any()
+    b1, b2 = op0.lifted_rhs(z1, z2)
+    b1p, b2p = opP.lifted_rhs(z1p, z2p)
+    np.testing.assert_allclose(np.asarray(b1p[crop]), np.asarray(b1), rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(b2p[crop]), np.asarray(b2), rtol=0, atol=1e-14)
+    assert not np.asarray(b1p[shape[0]:, :]).any()
+    assert not np.asarray(b2p[:, shape[1]:]).any()
+
+
 @pytest.mark.slow
 @needs_8
 def test_sharded_gmres_ilu_matches_single_device():
