@@ -154,7 +154,11 @@ def sharded_solve_dpp(
     g1, g2 = bc_values_per_field(W, bcs)
     # DoFs live on the (possibly p-refined) lattice — pad/crop THAT grid
     dof_shape = W.spaces[0].dof_mesh.node_shape
+    # normalize: a divisible lattice shares the unpadded builder cache entry
+    # (padding=() and padding=(0,0[,0]) would otherwise compile twice)
     padding = mesh_padding(dof_shape, dmesh)
+    if not any(padding):
+        padding = ()
     if any(padding):
         pads = [(0, p) for p in padding]
         g1 = jnp.pad(g1, pads)
@@ -164,22 +168,37 @@ def sharded_solve_dpp(
     if W.spaces[0].degree > 1 and not W.mesh.is_tensor_product:
         from perphil_tpu.solvers.solver import _build_simplex_p2_linear_solver
 
+        # the P2 simplex preonly+lu path is host scipy-splu with no SPMD
+        # partitioning: refuse it for EVERY sharded call (even a divisible
+        # lattice where padding==()), before the builder's padding-gated
+        # backstop can let it through
+        if str(solver_parameters.get("ksp_type", "preonly")) == "preonly":
+            raise NotImplementedError(
+                "P2 simplex preonly+lu is a host sparse-direct path "
+                "(scipy splu) with no SPMD partitioning; sharded P2 "
+                "simplex solves support ksp_type=gmres with "
+                "pc_type none/jacobi"
+            )
+
         # P2 simplex lattices phantom-pad through the boundary-mask
         # machinery (identity phantom rows, P2SimplexDPPOperator.padding)
-        solver = _build_simplex_p2_linear_solver(
-            W, model_params, _freeze(solver_parameters), padding
-        )
+        builder = _build_simplex_p2_linear_solver
     elif W.spaces[0].degree > 1:
         from perphil_tpu.solvers.solver import _build_tensor_linear_solver
 
         # degree-p lattices phantom-pad exactly like Q1: the padded 1D
         # factor matrices carry inert identity blocks, so trajectories
         # match the unpadded solve (TensorDPPOperator.padding)
-        solver = _build_tensor_linear_solver(
-            W, model_params, _freeze(solver_parameters), padding
-        )
+        builder = _build_tensor_linear_solver
     else:
-        solver = _build_linear_solver(W, model_params, _freeze(solver_parameters), padding)
+        builder = _build_linear_solver
+    # omit padding entirely on divisible lattices: lru_cache keys on the
+    # positional args as passed, so only the 3-arg form shares solve_dpp's
+    # compiled-solver cache entry
+    if any(padding):
+        solver = builder(W, model_params, _freeze(solver_parameters), padding)
+    else:
+        solver = builder(W, model_params, _freeze(solver_parameters))
     z1, z2, its, rnorm = solver(g1, g2)
     if any(padding):
         crop = tuple(slice(0, n) for n in dof_shape)

@@ -174,6 +174,14 @@ def test_p2_simplex_sharded_preonly_raises_clearly():
             W, DPPParameters(), bcs, dm,
             solver_parameters={"ksp_type": "preonly", "pc_type": "lu"},
         )
+    # a DIVISIBLE lattice (padding all zero on a degenerate 1x1 mesh) must
+    # refuse too: the guard is on being sharded, not on being padded
+    dm1 = device_mesh([1, 1], axis_names=("y", "x"))
+    with pytest.raises(NotImplementedError, match="sharded P2 simplex"):
+        sharded_solve_dpp(
+            W, DPPParameters(), bcs, dm1,
+            solver_parameters={"ksp_type": "preonly", "pc_type": "lu"},
+        )
 
 
 def test_p2_simplex_padded_operator_matches_unpadded():
@@ -201,15 +209,19 @@ def test_p2_simplex_padded_operator_matches_unpadded():
     y1p, y2p = opP.matvec(z1p, z2p)
     np.testing.assert_allclose(np.asarray(y1p[crop]), np.asarray(y1), rtol=0, atol=1e-14)
     np.testing.assert_allclose(np.asarray(y2p[crop]), np.asarray(y2), rtol=0, atol=1e-14)
-    # phantom rows: identity on the input (which is zero-padded here)
-    assert not np.asarray(y1p[shape[0]:, :]).any()
-    assert not np.asarray(y1p[:, shape[1]:]).any()
+    # phantom rows: identity on the input (which is zero-padded here) —
+    # check BOTH fields on BOTH padded axes so an axis- or field-specific
+    # padding regression can't slip through
+    for yp in (y1p, y2p):
+        assert not np.asarray(yp[shape[0]:, :]).any()
+        assert not np.asarray(yp[:, shape[1]:]).any()
     b1, b2 = op0.lifted_rhs(z1, z2)
     b1p, b2p = opP.lifted_rhs(z1p, z2p)
     np.testing.assert_allclose(np.asarray(b1p[crop]), np.asarray(b1), rtol=0, atol=1e-14)
     np.testing.assert_allclose(np.asarray(b2p[crop]), np.asarray(b2), rtol=0, atol=1e-14)
-    assert not np.asarray(b1p[shape[0]:, :]).any()
-    assert not np.asarray(b2p[:, shape[1]:]).any()
+    for bp in (b1p, b2p):
+        assert not np.asarray(bp[shape[0]:, :]).any()
+        assert not np.asarray(bp[:, shape[1]:]).any()
 
 
 @pytest.mark.slow
