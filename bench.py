@@ -275,10 +275,12 @@ def _northstar_128cube() -> dict:
     """The BASELINE north-star size: 128^3 hexes (4,293,378 DoF),
     assemble+solve on one chip (BASELINE.md "TPU targets": >=10x the CPU
     PETSc direct solve). Measured with the same _Case protocol as the
-    headline; also writes the committed artifact
-    ``notebooks/results-conforming-3d/northstar_128cube.json`` that
-    README.md's claim cites. Failures degrade to null fields so the
-    primary 64^3 metric survives an OOM/outage here."""
+    headline. Writes the measurement to the UNCOMMITTED ``results/``
+    directory (gitignored); promoting a chosen run to the committed
+    artifact ``notebooks/results-conforming-3d/northstar_128cube.json``
+    (which README.md's claim cites) is a deliberate step:
+    ``python tasks.py promote-northstar``. Failures degrade to null
+    fields so the primary 64^3 metric survives an OOM/outage here."""
     import pathlib
 
     import jax
@@ -302,12 +304,8 @@ def _northstar_128cube() -> dict:
             "roofline_bound": point.bound,
             "device": str(jax.devices()[0]),
         }
-        out = (
-            pathlib.Path(__file__).parent
-            / "notebooks"
-            / "results-conforming-3d"
-            / "northstar_128cube.json"
-        )
+        out = pathlib.Path(__file__).parent / "results" / "northstar_128cube.json"
+        out.parent.mkdir(exist_ok=True)
         out.write_text(json.dumps(art, indent=1) + "\n")
         return {
             "value_128cube": t,

@@ -69,6 +69,26 @@ def bench(args):
 
 
 @task
+def promote_northstar(args):
+    """Promote the last bench.py 128^3 measurement (results/, uncommitted)
+    to the committed artifact notebooks/results-conforming-3d/
+    northstar_128cube.json. Deliberate step so a driver/CI bench run never
+    dirties the tree or silently overwrites the published number."""
+    import json
+    import shutil
+
+    src = ROOT / "results" / "northstar_128cube.json"
+    dst = ROOT / "notebooks" / "results-conforming-3d" / "northstar_128cube.json"
+    if not src.exists():
+        raise SystemExit(f"no measurement at {src}; run `python bench.py` first")
+    art = json.loads(src.read_text())
+    if art.get("value") is None:
+        raise SystemExit(f"refusing to promote a failed measurement: {art}")
+    shutil.copyfile(src, dst)
+    print(f"promoted {src} -> {dst} (value={art['value']:.6f} s)")
+
+
+@task
 def tpu_artifacts(args):
     """Post-outage TPU runbook: everything that needs the real chip, in
     order. (1) headline bench (outage-resilient probe-retry inside
