@@ -217,3 +217,74 @@ def sharded_solve_dpp(
             replicate_scalar(rnorm, dmesh),
         )
     return Solution(Function(W, (z1, z2)), int(its), float(rnorm))
+
+
+def sharded_solve_dpp_nonlinear(
+    W: MixedFunctionSpace,
+    model_params,
+    bcs,
+    dmesh: Mesh,
+    solver_parameters: dict = {},
+):
+    """``solve_dpp_nonlinear`` with boundary data placed on a device mesh.
+
+    The Picard drivers (snes_type ngs / nrichardson / block_gs) are plain
+    stencil+elementwise programs, so XLA SPMD partitions the SAME compiled
+    sweeper across devices (halo exchange per sweep, psum per residual
+    norm) — iteration trajectories match the single-device solve exactly.
+
+    Node grids must be device-divisible: phantom padding is NOT supported
+    here because padded phantom nodes would participate in the pointwise
+    Gauss-Seidel sweeps and change the Picard trajectory (unlike the
+    linear solvers, where phantom rows are inert identity equations).
+    Choose N with (N+1) divisible by each mesh axis (15, 31, 63, ...).
+    """
+    from perphil_tpu.ops.assembly import bc_values_per_field
+    from perphil_tpu.solvers.options import apply_prefix_overrides
+    from perphil_tpu.solvers.solver import (
+        Solution,
+        _build_nonlinear_solver,
+        _freeze,
+        _validate_mixed,
+    )
+
+    _validate_mixed(W)
+    solver_parameters = apply_prefix_overrides(solver_parameters, "dpp_nonlinear")
+    snes = str(solver_parameters.get("snes_type", "ngs"))
+    if snes == "ksponly":
+        # one linear solve: route through the sharded linear entry, which
+        # handles phantom padding; mirror solve_dpp_nonlinear's reporting
+        # (its == 1, residual = true nonlinear function norm)
+        ksp_opts = {
+            k: v for k, v in solver_parameters.items() if not k.startswith("snes_")
+        }
+        sol = sharded_solve_dpp(W, model_params, bcs, dmesh, ksp_opts)
+        return Solution(sol.solution, 1, sol.residual_error)
+    if W.spaces[0].degree > 1:
+        raise NotImplementedError(
+            "sharded Picard/NGS drivers are degree-1 (matching "
+            "solve_dpp_nonlinear); use snes_type='ksponly' for Qp systems"
+        )
+    g1, g2 = bc_values_per_field(W, bcs)
+    dof_shape = W.spaces[0].dof_mesh.node_shape
+    padding = mesh_padding(dof_shape, dmesh)
+    if any(padding):
+        raise NotImplementedError(
+            f"sharded nonlinear solves need device-divisible node grids "
+            f"(got {dof_shape} on {dict(zip(dmesh.axis_names, dmesh.devices.shape))}): "
+            "phantom nodes would enter the pointwise-GS sweeps and change "
+            "the Picard trajectory"
+        )
+    g1 = shard_grid(g1, dmesh)
+    g2 = shard_grid(g2, dmesh)
+    solver = _build_nonlinear_solver(W, model_params, _freeze(solver_parameters))
+    z1, z2, its, fnorm = solver(g1, g2)
+    if jax.process_count() > 1:
+        from perphil_tpu.parallel.distributed import replicate_scalar
+
+        return Solution(
+            Function(W, (z1, z2)),
+            int(replicate_scalar(its, dmesh)),
+            replicate_scalar(fnorm, dmesh),
+        )
+    return Solution(Function(W, (z1, z2)), int(its), float(fnorm))

@@ -276,3 +276,41 @@ def test_scaling_harness_smoke():
         with open(out) as f:
             got = list(_csv.DictReader(f))
     assert len(got) == 2 and got[0]["mode"] == "strong"
+
+
+@needs_8
+def test_sharded_ngs_picard_matches_single_device():
+    """Picard NGS (the pinned-coloring multicolor secant sweeper) under
+    GSPMD: colored masked sweeps + halo exchange must follow the exact
+    single-device trajectory — identical Picard iteration count and
+    machine-precision solution agreement on a device-divisible grid."""
+    from perphil_tpu.parallel.sharding import sharded_solve_dpp_nonlinear
+    from perphil_tpu.solvers import solve_dpp_nonlinear
+
+    mesh = create_mesh(7, 7)  # 8x8 nodes: divisible by a [4, 2] mesh
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    params = DPPParameters()
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    ref = solve_dpp_nonlinear(W, params, bcs, sp.PICARD_LU_SOLVER_PARAMS)
+    dm = device_mesh([4, 2], axis_names=("y", "x"))
+    sol = sharded_solve_dpp_nonlinear(W, params, bcs, dm, sp.PICARD_LU_SOLVER_PARAMS)
+    assert sol.iteration_number == ref.iteration_number
+    for a, b in zip(sol.solution.data, ref.solution.data):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-11)
+
+
+@needs_8
+def test_sharded_ngs_refuses_nondivisible_grid():
+    mesh = create_mesh(8, 8)  # 9x9 nodes: NOT divisible by [4, 2]
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    bcs = [DirichletBC(W.sub(0), 1.0), DirichletBC(W.sub(1), 0.0)]
+    from perphil_tpu.parallel.sharding import sharded_solve_dpp_nonlinear
+
+    dm = device_mesh([4, 2], axis_names=("y", "x"))
+    with pytest.raises(NotImplementedError, match="device-divisible"):
+        sharded_solve_dpp_nonlinear(
+            W, DPPParameters(), bcs, dm, sp.PICARD_LU_SOLVER_PARAMS
+        )
