@@ -648,38 +648,58 @@ class StructuredILU0:
     center: int
     levels: jnp.ndarray  # (L, W) padded with nrows
     partri: Optional[PartriILU] = None
+    # df32 mode: low words of the f64 factor (factors == hi words), enabling
+    # apply_flat_df's defect-corrected double-float application
+    factors_lo: Optional[jnp.ndarray] = None
 
     @classmethod
-    def _from_system(cls, sys: StructuredSystem) -> "StructuredILU0":
+    def _from_system(
+        cls, sys: StructuredSystem, dtype_mode: Optional[str] = None
+    ) -> "StructuredILU0":
         import os
 
         f = ilu0_factorize(sys)
         # The PC application dtype: float32 by default — TPU f64 is
         # emulated ~30x slower, and a preconditioner needs no more than
         # f32 accuracy (golden iteration counts 5/11/20 are preserved;
-        # large-N counts can shift by +-1). Set PERPHIL_TPU_ILU_DTYPE=
-        # float64 for exact PETSc parity mode.
-        dtype = jnp.dtype(os.environ.get("PERPHIL_TPU_ILU_DTYPE", "float32"))
+        # large-N counts can shift by +-1). Modes for the knife-edge cells:
+        #   PERPHIL_TPU_ILU_DTYPE=float64 — full f64 (CPU parity mode);
+        #   PERPHIL_TPU_ILU_DTYPE=df32    — f32 trisolves + double-float
+        #     defect correction against the df-stored f64 factor
+        #     (apply_flat_df): PC application accurate to ~1e-14 of
+        #     PETSc's f64 ILU at f32 trisolve speed (2 extra trisolves +
+        #     2 stencil matvecs per apply).
+        # The env var overrides the caller's dtype_mode either way.
+        mode = os.environ.get("PERPHIL_TPU_ILU_DTYPE", dtype_mode or "float32")
+        df_mode = mode == "df32"
+        dtype = jnp.dtype("float32" if df_mode else mode)
+        f_hi = np.asarray(f, dtype=np.float32)
+        f_lo = np.asarray(f - f_hi.astype(np.float64), dtype=np.float32)
         partri = None
         if _trisolve_backend() == "partri" and _partri_fits(sys, dtype.itemsize):
             partri = build_partri_ilu(sys, f, dtype)
         return cls(
             mesh=sys.mesh,
             nfields=sys.nfields,
-            factors=jnp.asarray(f, dtype=dtype),
+            factors=jnp.asarray(f_hi) if df_mode else jnp.asarray(f, dtype=dtype),
             deltas=tuple(int(x) for x in sys.deltas),
             center=sys.center_index,
             levels=jnp.asarray(_padded_levels(sys, _wavefront_unroll())),
             partri=partri,
+            factors_lo=jnp.asarray(f_lo) if df_mode else None,
         )
 
     @classmethod
-    def for_monolithic(cls, op) -> "StructuredILU0":
-        return cls._from_system(build_monolithic_system(op.mesh, op.params))
+    def for_monolithic(cls, op, dtype_mode: Optional[str] = None) -> "StructuredILU0":
+        return cls._from_system(
+            build_monolithic_system(op.mesh, op.params), dtype_mode
+        )
 
     @classmethod
-    def for_field(cls, fop) -> "StructuredILU0":
-        return cls._from_system(build_field_system(fop.mesh, fop.k, fop.beta, fop.mu))
+    def for_field(cls, fop, dtype_mode: Optional[str] = None) -> "StructuredILU0":
+        return cls._from_system(
+            build_field_system(fop.mesh, fop.k, fop.beta, fop.mu), dtype_mode
+        )
 
     def _sweep(self, rhs: jnp.ndarray, offs: Sequence[int], z0, reverse: bool, scale_diag: bool):
         nrows = rhs.shape[0]
@@ -711,6 +731,78 @@ class StructuredILU0:
         """Single-field convenience: grid -> grid."""
         shape = r.shape
         return self.apply_flat(r.ravel()).reshape(shape)
+
+    # -- double-float application (PERPHIL_TPU_ILU_DTYPE=df32) ------------
+
+    def _df_taps(self, z_df, taps, with_identity: bool, scale_center: bool):
+        """df matvec over a subset of the factor's offsets:
+        ``y_i = [z_i] + sum_t f[i,t] * z_{i+delta_t}`` with error-free tap
+        products against the df-stored f64 factor (two_prod hi*hi + cross
+        terms). Out-of-range taps read a zero pad (invalid offsets carry
+        zero factor values, matching _leveled_clip_sweep's clip semantics)."""
+        from perphil_tpu.ops.df32 import df_add, fast_two_sum, two_prod
+
+        zh, zl = z_df
+        n = zh.shape[0]
+        deltas = self.deltas
+        maxneg = max(0, -min(deltas))
+        maxpos = max(0, max(deltas))
+        zh_p = jnp.pad(zh, (maxneg, maxpos))
+        zl_p = jnp.pad(zl, (maxneg, maxpos))
+        if with_identity:
+            acc = (zh, zl)
+        else:
+            acc = (jnp.zeros_like(zh), jnp.zeros_like(zh))
+        for t in taps:
+            d = deltas[t]
+            sh = jax.lax.dynamic_slice_in_dim(zh_p, maxneg + d, n)
+            sl = jax.lax.dynamic_slice_in_dim(zl_p, maxneg + d, n)
+            fh = self.factors[:, t]
+            fl = self.factors_lo[:, t]
+            p, e = two_prod(fh, sh)
+            e = e + fh * sl + fl * sh
+            acc = df_add(acc, fast_two_sum(p, e))
+        if scale_center:
+            c = self.center
+            fh = self.factors[:, c]
+            fl = self.factors_lo[:, c]
+            p, e = two_prod(fh, zh)
+            e = e + fh * zl + fl * zh
+            acc = df_add(acc, fast_two_sum(p, e))
+        return acc
+
+    def _lu_matvec_df(self, z_df):
+        """``M z`` for the factored ``M = L U`` in double-float: U has the
+        stored diagonal + upper offsets, L is unit-lower."""
+        uppers = tuple(t for t, d in enumerate(self.deltas) if d > 0)
+        lowers = tuple(t for t, d in enumerate(self.deltas) if d < 0)
+        uz = self._df_taps(z_df, uppers, with_identity=False, scale_center=True)
+        return self._df_taps(uz, lowers, with_identity=True, scale_center=False)
+
+    def apply_flat_df(self, r_df, n_refine: int = 1):
+        """Double-float PC application ``z ~= M^{-1} r`` by defect
+        correction: f32 trisolves against the hi factor, residuals against
+        the df-stored f64 factor. One refinement contracts the application
+        error from ~eps_f32 to ~eps_f32^2 ~= eps_df, so the applied
+        preconditioner matches PETSc's f64 ILU to double-float accuracy
+        while every trisolve stays f32 (the knife-edge 2D N=64 GMRES+ILU
+        cell needs this; docs/design.md §7). Requires df32 mode
+        (PERPHIL_TPU_ILU_DTYPE=df32)."""
+        from perphil_tpu.ops.df32 import df_add
+        from perphil_tpu.ops.dfvec import df_vec_sub
+
+        if self.factors_lo is None:
+            raise ValueError(
+                "apply_flat_df needs the df-stored factor: set "
+                "PERPHIL_TPU_ILU_DTYPE=df32 before building the PC"
+            )
+        z32 = self.apply_flat(r_df[0] + r_df[1])
+        z = (z32, jnp.zeros_like(z32))
+        for _ in range(int(n_refine)):
+            s = df_vec_sub(r_df, self._lu_matvec_df(z))
+            c32 = self.apply_flat(s[0] + s[1])
+            z = df_add(z, (c32, jnp.zeros_like(c32)))
+        return z
 
 
 @dataclass(frozen=True)

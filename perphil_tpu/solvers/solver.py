@@ -614,8 +614,27 @@ def _monolithic_pc_df(op: DPPOperator, flat: Dict[str, object]) -> Optional[Call
                 "Only ILU(0) is implemented (the only level any reference "
                 "workload uses, parameters.py:27)"
             )
-        ilu = StructuredILU0.for_monolithic(op)
+        # df32 is the production default for the MONOLITHIC ILU on the df
+        # Krylov path: its iteration counts are golden numbers, and the f32
+        # apply drifts the 2D N=64 cell to 43 (PETSc: 42). Inner fieldsplit
+        # ILU blocks stay f32/bf16 — only the outer count is published.
+        ilu = StructuredILU0.for_monolithic(op, dtype_mode="df32")
         crop = (slice(None),) + tuple(slice(0, n) for n in mesh.node_shape)
+
+        if ilu.factors_lo is not None:
+            # PERPHIL_TPU_ILU_DTYPE=df32: double-float PC application
+            # (defect-corrected f32 trisolves against the df-stored f64
+            # factor) — matches PETSc's f64 ILU apply to ~1e-14 and keeps
+            # the N=64 golden count at 42 (docs/design.md §7)
+            def apply_ilu_df(r):
+                shape = r[0][crop].shape
+                rr = (r[0][crop].reshape(-1), r[1][crop].reshape(-1))
+                zh, zl = ilu.apply_flat_df(rr)
+                out_h = r[0].at[crop].set(zh.reshape(shape))
+                out_l = r[1].at[crop].set(zl.reshape(shape))
+                return out_h, out_l
+
+            return apply_ilu_df
 
         def apply_ilu_df(r):
             r32 = r[0] + r[1]

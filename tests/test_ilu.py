@@ -123,3 +123,58 @@ def test_gs_sweep_matches_dense():
     Uo = A - Lo
     x_ref = sla.solve_triangular(Lo, b - Uo @ x0, lower=True)
     assert np.abs(x1 - x_ref).max() < 1e-11
+
+
+def test_apply_flat_df_matches_f64_factor_solve():
+    """apply_flat_df (df32 mode: f32 trisolves + one double-float defect
+    correction against the df-stored f64 factor) must match the dense f64
+    L/U solve to ~1e-13 relative — the accuracy class that keeps the 2D
+    N=64 GMRES+ILU golden count at 42 (docs/design.md §7)."""
+    import numpy as np
+
+    from perphil_tpu.forms import create_function_spaces, mixed_space
+    from perphil_tpu.mesh import create_mesh
+    from perphil_tpu.models.dpp import DPPParameters
+    from perphil_tpu.ops.assembly import DPPOperator
+    from perphil_tpu.ops.ilu import (
+        StructuredILU0,
+        build_monolithic_system,
+        ilu0_factorize,
+    )
+
+    mesh = create_mesh(6, 6)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    op = DPPOperator(W, DPPParameters())
+    sys = build_monolithic_system(mesh, DPPParameters())
+    f = ilu0_factorize(sys)
+    n = f.shape[0]
+    L = np.eye(n)
+    U = np.zeros((n, n))
+    for t, d in enumerate(sys.deltas):
+        idx = np.arange(n)
+        j = idx + d
+        ok = (j >= 0) & (j < n)
+        if d < 0:
+            L[idx[ok], j[ok]] = f[idx[ok], t]
+        elif d > 0:
+            U[idx[ok], j[ok]] = f[idx[ok], t]
+        else:
+            U[idx, idx] = f[:, t]
+    ilu = StructuredILU0.for_monolithic(op, dtype_mode="df32")
+    assert ilu.factors_lo is not None
+    rng = np.random.default_rng(3)
+    r64 = rng.standard_normal(n)
+    rh = np.asarray(r64, np.float32)
+    rl = np.asarray(r64 - rh.astype(np.float64), np.float32)
+    zh, zl = ilu.apply_flat_df((jnp.asarray(rh), jnp.asarray(rl)))
+    z = np.asarray(zh, np.float64) + np.asarray(zl, np.float64)
+    z_ref = np.linalg.solve(U, np.linalg.solve(L, r64))
+    rel = np.abs(z - z_ref).max() / np.abs(z_ref).max()
+    assert rel < 1e-12, rel
+    # and the f32 single-pass apply is genuinely ~6 orders worse, so the
+    # test discriminates (guards against apply_flat_df silently reducing
+    # to the f32 path)
+    z32 = np.asarray(ilu.apply_flat(jnp.asarray(r64)), np.float64)
+    rel32 = np.abs(z32 - z_ref).max() / np.abs(z_ref).max()
+    assert rel32 > 1e-9, rel32

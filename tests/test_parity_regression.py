@@ -106,3 +106,20 @@ def test_picard_ngs_iterations_exact(N, ref_its):
     mesh, W, params, bcs, *_ = _setup(N)
     sol = solve_dpp_nonlinear(W, params, bcs, solver_parameters=sp.PICARD_LU_SOLVER_PARAMS)
     assert sol.iteration_number == ref_its
+
+
+@pytest.mark.slow
+def test_gmres_ilu_n64_exact_in_df32_production_mode(monkeypatch):
+    """The PRODUCTION df32 Krylov path now applies the monolithic ILU in
+    double-float (defect-corrected f32 trisolves against the df-stored f64
+    factor, ops/ilu.py::StructuredILU0.apply_flat_df) — the knife-edge 2D
+    N=64 cell must land PETSc's exact 42 in this mode (convergence.csv row
+    N=64; the pre-round-5 f32 apply drifted to 43)."""
+    monkeypatch.setenv("PERPHIL_TPU_KSP_DTYPE", "df32")
+    from perphil_tpu.solvers.solver import _build_linear_solver
+
+    _build_linear_solver.cache_clear()  # cache key does not include the env
+    mesh, W, params, bcs, *_ = _setup(64)
+    sol = solve_dpp(W, params, bcs, solver_parameters=sp.GMRES_ILU_PARAMS)
+    _build_linear_solver.cache_clear()  # do not leak df32 solvers to others
+    assert sol.iteration_number == 42
