@@ -337,6 +337,67 @@ class DPPOperator:
 
         return mv
 
+    # -- triple-float (three-f32) views: the knife-edge tiny-system mode ----
+
+    def matvec_tf(self, z1, z2):
+        """Operator application on per-field triple-float vectors
+        (``ops/tf32``, ~71-bit): used by ``gmres_tf`` on tiny systems where
+        the df32 49-bit trajectory sits on a convergence knife edge
+        (docs/design.md §7)."""
+        from perphil_tpu.ops.tf32 import tf_apply_stencil, tf_axpy64, tf_sub
+
+        p = self.params
+        K_st, M_st = self._stencils
+        bdry, interior = self._mask_arrays
+
+        def mask(x, keep, fb):
+            return tuple(jnp.where(keep, a, b) for a, b in zip(x, fb))
+
+        zero = tuple(jnp.zeros_like(c) for c in z1)
+        z1i = mask(z1, interior, zero)
+        z2i = mask(z2, interior, zero)
+        Kz1 = tf_apply_stencil(z1i, np.asarray(K_st))
+        Kz2 = tf_apply_stencil(z2i, np.asarray(K_st))
+        Md = tf_apply_stencil(tf_sub(z1i, z2i), np.asarray(M_st))
+        y1 = tf_axpy64(tf_axpy64(zero, p.k1 / p.mu, Kz1), p.beta / p.mu, Md)
+        y2 = tf_axpy64(tf_axpy64(zero, p.k2 / p.mu, Kz2), -p.beta / p.mu, Md)
+        return mask(y1, interior, z1), mask(y2, interior, z2)
+
+    def stacked_matvec_tf(self) -> Callable:
+        """tf analogue of :meth:`stacked_matvec_df`: a triple of stacked
+        ``(2, *grid)`` arrays in and out."""
+
+        def mv(x):
+            y1, y2 = self.matvec_tf(
+                tuple(c[0] for c in x), tuple(c[1] for c in x)
+            )
+            return tuple(jnp.stack([a, b]) for a, b in zip(y1, y2))
+
+        return mv
+
+    def lifted_rhs_tf(self, g1, g2):
+        """tf analogue of :meth:`lifted_rhs` (per-field tf triples in/out)."""
+        from perphil_tpu.ops.tf32 import tf_apply_stencil, tf_axpy64, tf_neg, tf_sub
+
+        p = self.params
+        K_st, M_st = self._stencils
+        bdry, interior = self._mask_arrays
+
+        def mask(x, keep, fb):
+            return tuple(jnp.where(keep, a, b) for a, b in zip(x, fb))
+
+        zero = tuple(jnp.zeros_like(c) for c in g1)
+        g1b = mask(g1, bdry, zero)
+        g2b = mask(g2, bdry, zero)
+        Kg1 = tf_apply_stencil(g1b, np.asarray(K_st))
+        Kg2 = tf_apply_stencil(g2b, np.asarray(K_st))
+        Mgd = tf_apply_stencil(tf_sub(g1b, g2b), np.asarray(M_st))
+        a1 = tf_axpy64(tf_axpy64(zero, p.k1 / p.mu, Kg1), p.beta / p.mu, Mgd)
+        a2 = tf_axpy64(tf_axpy64(zero, p.k2 / p.mu, Kg2), -p.beta / p.mu, Mgd)
+        b1 = mask(tf_neg(a1), ~bdry, g1)
+        b2 = mask(tf_neg(a2), ~bdry, g2)
+        return b1, b2
+
     def lifted_rhs_df(self, g1, g2):
         """df analogue of :meth:`lifted_rhs` (per-field df pairs in/out)."""
         from perphil_tpu.ops.df32 import df_apply_stencil, df_axpy_wf64, df_sub

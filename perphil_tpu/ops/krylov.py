@@ -466,6 +466,130 @@ def gmres_df(
     return KrylovResult(x, its, rnorm, rnorm <= tol)
 
 
+def gmres_tf(
+    A_tf: Callable,
+    b_tf,
+    x0_tf=None,
+    rtol: float = 1.0e-5,
+    atol: float = 1.0e-50,
+    max_it: int = 10000,
+    restart: int = 30,
+    dtol: float = DEFAULT_DTOL,
+):
+    """Restarted GMRES on TRIPLE-float vectors (``ops/tf32``, ~71-bit) —
+    the knife-edge mode for tiny unpreconditioned systems.
+
+    Same structure, stopping semantics, and f64 scalar recurrence as
+    :func:`gmres_df`; only the vector arithmetic is wider. Rationale
+    (docs/design.md §7): the df32 49-bit trajectory drifts +1 against
+    PETSc at two published knife-edge cells (2D N=8: 41 vs 40, 3D nx=4:
+    28 vs 27) — and the drift provably does NOT live in the scalar chain
+    (gmres_df already carries Hessenberg/Givens in exact f64). A tf32
+    trajectory tracks exact arithmetic ~2^-70, below PETSc's own f64
+    rounding, so it lands on PETSc's side of the convergence boundary.
+    Unpreconditioned only — every preconditioned count is already exact
+    in df32 at the sizes this mode serves.
+    """
+    from perphil_tpu.ops.tf32 import (
+        tf_add,
+        tf_basis_comb,
+        tf_basis_dot,
+        tf_norm,
+        tf_scale64,
+        tf_sub,
+    )
+
+    m = int(restart)
+    shape = b_tf[0].shape
+    f32 = b_tf[0].dtype
+    if x0_tf is None:
+        z = jnp.zeros(shape, dtype=f32)
+        x0_tf = (z, z, z)
+
+    def _residual(x_tf):
+        return tf_sub(b_tf, A_tf(x_tf))
+
+    r0 = _residual(x0_tf)
+    rnorm0 = tf_norm(r0)
+    tol = jnp.maximum(rtol * rnorm0, atol)
+    div = dtol * rnorm0
+
+    def cycle(state):
+        x, its, rnorm, done = state
+        r = _residual(x)
+        beta = tf_norm(r)
+        inv = jnp.where(beta > 0.0, 1.0 / beta, 1.0)
+        v0 = tf_scale64(r, inv)
+        V = tuple(
+            jnp.zeros((m + 1,) + shape, dtype=f32).at[0].set(c) for c in v0
+        )
+        R = jnp.zeros((m, m), dtype=jnp.float64)
+        g = jnp.zeros(m + 1, dtype=jnp.float64).at[0].set(beta)
+        cs = jnp.zeros(m, dtype=jnp.float64)
+        sn = jnp.zeros(m, dtype=jnp.float64)
+
+        def inner_cond(carry):
+            *_, j, its_i, rnorm_i, _x = carry
+            ok = (j < m) & (its_i < max_it)
+            ok &= rnorm_i > jnp.maximum(tol, 0.0)
+            ok &= rnorm_i <= div
+            return ok
+
+        def arnoldi_step(carry):
+            V, R, g, cs, sn, j, its_i, rnorm_i, x_i = carry
+            vj = tuple(c[j] for c in V)
+            w = A_tf(vj)
+            h = tf_basis_dot(V, w)  # (m+1,) f64
+            w = tf_sub(w, tf_basis_comb(h, V))
+            hj1 = tf_norm(w)
+            inv = jnp.where(hj1 > 0.0, 1.0 / hj1, 1.0)
+            wn = tf_scale64(w, inv)
+            V = tuple(c.at[j + 1].set(wc) for c, wc in zip(V, wn))
+            hfull = h.at[jnp.minimum(j + 1, m)].set(jnp.where(j + 1 <= m, hj1, 0.0))
+            hfull = _apply_rotations_scanned(hfull, cs, sn, j, m)
+            a_ = hfull[j]
+            b_ = hfull[j + 1]
+            denom = jnp.sqrt(a_ * a_ + b_ * b_)
+            denom_safe = jnp.where(denom > 0.0, denom, 1.0)
+            c_new = jnp.where(denom > 0.0, a_ / denom_safe, 1.0)
+            s_new = jnp.where(denom > 0.0, b_ / denom_safe, 0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            hfull = hfull.at[j].set(c_new * a_ + s_new * b_).at[j + 1].set(0.0)
+            R = R.at[:, j].set(hfull[:m])
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+            rnorm_i = jnp.abs(g[j + 1])
+            return V, R, g, cs, sn, j + 1, its_i + 1, rnorm_i, x_i
+
+        carry = (V, R, g, cs, sn, jnp.asarray(0), its, beta, x)
+        V, R, g, cs, sn, j, its, rnorm, x = lax.while_loop(
+            inner_cond, arnoldi_step, carry
+        )
+        col = jnp.arange(m)
+        Rm = jnp.where((col[None, :] >= j) & (col[:, None] == col[None, :]), 1.0, R)
+        Rm = jnp.where((col[None, :] >= j) & (col[:, None] != col[None, :]), 0.0, Rm)
+        gm = jnp.where(col < j, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+        Vm = tuple(c[:m] for c in V)
+        x = tf_add(x, tf_basis_comb(y, Vm))
+        done = (
+            (rnorm <= tol) | (its >= max_it) | (rnorm > div)
+            | ~jnp.isfinite(rnorm) | (j == 0)
+        )
+        return x, its, rnorm, done
+
+    def outer_cond(state):
+        _, its, rnorm, done = state
+        return ~done
+
+    init_done = rnorm0 <= tol
+    x, its, rnorm, _ = lax.while_loop(
+        outer_cond, cycle, (x0_tf, jnp.asarray(0), rnorm0, init_done)
+    )
+    return KrylovResult(x, its, rnorm, rnorm <= tol)
+
+
 def cg_df(
     A_df: Callable,
     b_df,

@@ -303,26 +303,30 @@ def _axpy_const(acc, w: float, v):
 def build_packed_ilu(geo, op):
     """Host-side construction of the packed structured-ILU(0) data.
 
-    Returns ``(consts, meta)``: ``consts = (coeffs, lvmap, diag)`` to pass
-    as kernel inputs (Pallas kernels may not capture array constants) —
-    ``coeffs`` is ``(n_offs, Rp, Wp)`` f32 factor planes (one per structural
-    offset, entries placed at each row's packed position), ``lvmap`` the
-    wavefront level index per packed position (-1 outside the grid),
-    ``diag`` the U diagonal (1.0 outside) — and ``meta = (lower, upper,
-    shifts, nlev)`` with static offset index lists (preserving
-    ``StructuredILU0._sweep``'s accumulation order), packed (drow, dlane)
-    shifts, and the level count.
+    Returns ``(consts, meta)``: ``consts = (coeffs, lvmap, diag,
+    coeffs_lo)`` to pass as kernel inputs (Pallas kernels may not capture
+    array constants) — ``coeffs`` is ``(n_offs, Rp, Wp)`` f32 factor planes
+    (one per structural offset, entries placed at each row's packed
+    position), ``lvmap`` the wavefront level index per packed position (-1
+    outside the grid), ``diag`` the U diagonal (1.0 outside), ``coeffs_lo``
+    the low f32 words of the f64 factor (for the df defect-corrected
+    apply) — and ``meta = (lower, upper, shifts, nlev, center)`` with
+    static offset index lists (preserving ``StructuredILU0._sweep``'s
+    accumulation order), packed (drow, dlane) shifts, the level count, and
+    the center-offset index.
 
     Mirrors ``ops/ilu.StructuredILU0`` exactly: same host factorization
-    (``ilu0_factorize``), same f32 application dtype, same unit-lower L /
-    diagonal-scaled U wavefront semantics — golden iteration counts
-    (5/11/20 at 2D N=4/16/32) carry over.
+    (``ilu0_factorize``), same unit-lower L / diagonal-scaled U wavefront
+    semantics — golden iteration counts (5/11/20 at 2D N=4/16/32) carry
+    over; the monolithic apply is df-grade (make_ilu_apply_df), which the
+    knife-edge N=64 count (42) needs.
     """
     from perphil_tpu.ops.ilu import build_monolithic_system, ilu0_factorize
 
     sys = build_monolithic_system(op.mesh, op.params)
-    fac = np.asarray(ilu0_factorize(sys), np.float64)
-    fac = np.where(sys.valid, fac, 0.0).astype(np.float32)
+    fac64 = np.where(sys.valid, np.asarray(ilu0_factorize(sys), np.float64), 0.0)
+    fac = fac64.astype(np.float32)
+    fac_lo = (fac64 - fac.astype(np.float64)).astype(np.float32)
     n = sys.n_nodes
     shape = tuple(op.mesh.node_shape)
     dim = len(shape)
@@ -345,8 +349,10 @@ def build_packed_ilu(geo, op):
 
     n_offs = fac.shape[1]
     coeffs = np.zeros((n_offs, Rp, Wp), np.float32)
+    coeffs_lo = np.zeros((n_offs, Rp, Wp), np.float32)
     for t in range(n_offs):
         coeffs[t, pr, pc_] = fac[:, t]
+        coeffs_lo[t, pr, pc_] = fac_lo[:, t]
     lvmap = np.full((Rp, Wp), -1, np.int32)
     for i, rows in enumerate(sys.levels):
         lvmap[pr[rows], pc_[rows]] = i
@@ -363,8 +369,13 @@ def build_packed_ilu(geo, op):
         shifts.append((int(sys.blocks[t]) * geo.Fr + dz * geo.hrow + dy, dx))
     lower = tuple(t for t in range(n_offs) if int(sys.deltas[t]) < 0)
     upper = tuple(t for t in range(n_offs) if int(sys.deltas[t]) > 0)
-    consts = (jnp.asarray(coeffs), jnp.asarray(lvmap), jnp.asarray(diag))
-    meta = (lower, upper, tuple(shifts), len(sys.levels))
+    consts = (
+        jnp.asarray(coeffs),
+        jnp.asarray(lvmap),
+        jnp.asarray(diag),
+        jnp.asarray(coeffs_lo),
+    )
+    meta = (lower, upper, tuple(shifts), len(sys.levels), int(sys.center_index))
     return consts, meta
 
 
@@ -374,7 +385,7 @@ def make_ilu_apply(meta):
     in-kernel) stencil update and commits only its own rows — in-kernel
     iterations are nearly free on this backend, so ~2*nlev masked passes
     beat any XLA-level scheduling of the same recurrence."""
-    lower, upper, shifts, nlev = meta
+    lower, upper, shifts, nlev, _center = meta
 
     def apply(r, coeffs, lvmap, diag):
         zero = jnp.zeros_like(r)
@@ -398,6 +409,45 @@ def make_ilu_apply(meta):
         return _fori(nlev, ubody, zero)
 
     return apply
+
+
+def make_ilu_apply_df(meta):
+    """Kernel-side DOUBLE-FLOAT z = M^{-1} r (M = LU, the f64-factored
+    structured ILU(0)): f32 wavefront trisolves + one defect-correction
+    pass against the df-stored factor planes. The applied preconditioner
+    matches PETSc's f64 ILU to ~1e-14 — required at convergence knife
+    edges (the fused 2D N=64 GMRES+ILU cell drifts to 43 with a plain f32
+    apply; PETSc: 42 — docs/design.md §7) while every trisolve stays an
+    f32 masked sweep. Same policy as the XLA path's
+    ``StructuredILU0.apply_flat_df``."""
+    lower, upper, shifts, nlev, center = meta
+    base = make_ilu_apply(meta)
+
+    def _tap_df(acc, ch, cl, z_df, sh):
+        zh = _shift(z_df[0], *sh)
+        zl = _shift(z_df[1], *sh)
+        p, e = two_prod(ch, zh)
+        e = e + ch * zl + cl * zh
+        return df_add(acc, fast_two_sum(p, e))
+
+    def apply_df(v_df, coeffs, lvmap, diag, coeffs_lo):
+        z32 = base(v_df[0] + v_df[1], coeffs, lvmap, diag)
+        z = (z32, jnp.zeros_like(z32))
+        # M z = L(U z) in df: U = stored diag + uppers, L = unit-lower
+        uz = _tap_df(
+            (jnp.zeros_like(z32), jnp.zeros_like(z32)),
+            coeffs[center], coeffs_lo[center], z, (0, 0),
+        )
+        for t in upper:
+            uz = _tap_df(uz, coeffs[t], coeffs_lo[t], z, shifts[t])
+        mz = uz
+        for t in lower:
+            mz = _tap_df(mz, coeffs[t], coeffs_lo[t], uz, shifts[t])
+        s = df_sub(v_df, mz)
+        c32 = base(s[0] + s[1], coeffs, lvmap, diag)
+        return df_add(z, (c32, jnp.zeros_like(c32)))
+
+    return apply_df
 
 
 def build_packed_field_ilu(geo, op):
@@ -452,7 +502,7 @@ def build_packed_field_ilu(geo, op):
     lower = tuple(t for t in range(n_offs) if int(s0.deltas[t]) < 0)
     upper = tuple(t for t in range(n_offs) if int(s0.deltas[t]) > 0)
     consts = (jnp.asarray(coeffs), jnp.asarray(lvmap), jnp.asarray(diag))
-    meta = (lower, upper, tuple(shifts), nlev)
+    meta = (lower, upper, tuple(shifts), nlev, int(s0.center_index))
     return consts, meta
 
 
@@ -914,7 +964,7 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
     _matvec = build_packed_matvec(geo, op)
     if pc_type == "ilu":
         ilu_consts, ilu_meta = build_packed_ilu(geo, op)
-        ilu_apply = make_ilu_apply(ilu_meta)
+        ilu_apply_df = make_ilu_apply_df(ilu_meta)
     elif pc_type == "fieldsplit_ilu":
         ilu_consts, ilu_meta = build_packed_field_ilu(geo, op)
         ilu_apply = make_ilu_apply(ilu_meta)
@@ -954,7 +1004,7 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
             f"got {pc_type!r}"
         )
     n_pc_in = {
-        "ilu": 3, "fieldsplit_ilu": 3, "jacobi": 1, "fieldsplit_lu": 6
+        "ilu": 4, "fieldsplit_ilu": 3, "jacobi": 1, "fieldsplit_lu": 6
     }.get(pc_type, 0)
 
     def _tree_reduce(terms):
@@ -1062,10 +1112,13 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
             co = pc_refs[0][:]
             lvm = pc_refs[1][:]
             dgp = pc_refs[2][:]
+            co_lo = pc_refs[3][:]
 
             def P(v):
-                z = ilu_apply(v[0] + v[1], co, lvm, dgp)
-                return (z, jnp.zeros_like(z))
+                # df-grade monolithic ILU apply (defect-corrected f32
+                # sweeps): matches PETSc's f64 ILU operator to ~1e-14 —
+                # the N=64 golden count (42) needs this
+                return ilu_apply_df(v, co, lvm, dgp, co_lo)
         elif pc_type == "jacobi":
             dinv_p = pc_refs[0][:]
 

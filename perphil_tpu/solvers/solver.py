@@ -614,11 +614,21 @@ def _monolithic_pc_df(op: DPPOperator, flat: Dict[str, object]) -> Optional[Call
                 "Only ILU(0) is implemented (the only level any reference "
                 "workload uses, parameters.py:27)"
             )
-        # df32 is the production default for the MONOLITHIC ILU on the df
-        # Krylov path: its iteration counts are golden numbers, and the f32
-        # apply drifts the 2D N=64 cell to 43 (PETSc: 42). Inner fieldsplit
-        # ILU blocks stay f32/bf16 — only the outer count is published.
-        ilu = StructuredILU0.for_monolithic(op, dtype_mode="df32")
+        # PC-apply precision policy (docs/design.md §7): convergence margins
+        # TIGHTEN as systems shrink (measured: f32 apply drifts N=64 to 43
+        # vs PETSc's 42, while N=128/256 are exact in f32), so small
+        # monolithic systems get the df-grade apply — defect-corrected f32
+        # trisolves against the df-stored f64 factor, matching PETSc's f64
+        # ILU operator to ~1e-14 — and large ones keep the cheap f32 apply
+        # (2x less PCApply cost; counts exact there). The threshold matches
+        # the fused-kernel envelope so the XLA and fused paths agree
+        # wherever both serve a size. Overrides: PERPHIL_TPU_ILU_DTYPE,
+        # PERPHIL_TPU_ILU_DF_MAX_DOF.
+        import os as _os
+
+        df_max = int(_os.environ.get("PERPHIL_TPU_ILU_DF_MAX_DOF", "20000"))
+        mode = "df32" if int(op.W.dim()) <= df_max else None
+        ilu = StructuredILU0.for_monolithic(op, dtype_mode=mode)
         crop = (slice(None),) + tuple(slice(0, n) for n in mesh.node_shape)
 
         if ilu.factors_lo is not None:
@@ -1058,6 +1068,56 @@ def _build_linear_solver_df(
     # hook; silently ignoring the override there would report df32 counts
     # as if they were the requested mode's)
     residual_df = _restart_residual_df(op)
+
+    # knife-edge mode (docs/design.md §7): tiny unpreconditioned systems run
+    # TRIPLE-float vectors (ops/tf32, ~71-bit) — near convergence the
+    # residual's relative error is amplified by ~1/rtol, and on systems this
+    # small kappa*eps_df*1e8 lands inside the convergence margin (measured:
+    # df32 drifts 2D N=8 to 41 vs PETSc's 40 and 3D nx=4 to 28 vs 27, with
+    # the f64 scalar chain ruled out). tf32 tracks exact arithmetic below
+    # PETSc's own f64 rounding; its ~2.5x op cost is invisible at these
+    # dispatch-bound sizes. Larger systems keep df32 (all counts exact).
+    import os as _os
+
+    # Backend gate: the XLA tf route needs deterministic EFT arithmetic.
+    # On the axon backend the XLA-level in-loop scalar path carries ~1e-7
+    # noise (CLAUDE.md "in-loop f64 reductions"), which corrupts the tf
+    # trajectory below the df one (measured on-chip: 2D N=8 lands 37, vs
+    # 41 df / 40 exact) — there the fused Pallas kernel (pure Mosaic f32,
+    # deterministic) carries the knife-edge tf mode instead.
+    tf_max = int(_os.environ.get("PERPHIL_TPU_TF32_MAX_DOF", "512"))
+    tf_xla_ok = (
+        jax.default_backend().lower() not in ("tpu", "axon")
+        or _os.environ.get("PERPHIL_TPU_TF32_FORCE_XLA", "0") == "1"
+    )
+    if (
+        pc_df is None
+        and not with_guess
+        and tf_xla_ok
+        and int(op.W.dim()) <= tf_max
+    ):
+        from perphil_tpu.ops.krylov import gmres_tf
+        from perphil_tpu.ops.tf32 import tf_from_f64, tf_to_f64
+
+        mv_tf = op.stacked_matvec_tf()
+
+        def solve_krylov_tf(g1, g2):
+            g1t, g2t = tf_from_f64(g1), tf_from_f64(g2)
+            b1, b2 = op.lifted_rhs_tf(g1t, g2t)
+            b = tuple(jnp.stack([a, c]) for a, c in zip(b1, b2))
+            x0 = tuple(
+                jnp.stack([jnp.where(bdry, a, 0.0), jnp.where(bdry, c, 0.0)])
+                for a, c in zip(g1t, g2t)
+            )
+            res = gmres_tf(
+                mv_tf, b, x0_tf=x0, rtol=rtol, atol=atol, max_it=max_it,
+                restart=restart,
+            )
+            x64 = tf_to_f64(res.x)
+            return x64[0], x64[1], res.iterations, res.residual_norm
+
+        return _lifted_jit(solve_krylov_tf, *_example_grids(op, 2))
+
     if (
         fused_pc is not None
         and residual_df is None

@@ -96,6 +96,35 @@ def test_gmres_ilu_n64_exact_in_f64_parity_mode(monkeypatch):
     assert sol.iteration_number == 42
 
 
+@pytest.mark.parametrize("N,expected", [(4, 10), (8, 40)])
+def test_plain_gmres_knife_edge_exact_tf32(N, expected):
+    """Tiny unpreconditioned systems (<=512 DoF) route to the TRIPLE-float
+    Krylov mode (ops/tf32 + krylov.gmres_tf) whose trajectory rounds below
+    PETSc's own f64 — the 2D N=8 knife-edge cell must land PETSc's exact 40
+    (petsc_perf_breakdown.csv row N=8; the df32 trajectory drifts to 41)."""
+    mesh, W, params, bcs, *_ = _setup(N)
+    sol = solve_dpp(W, params, bcs, solver_parameters=sp.PLAIN_GMRES_PARAMS)
+    assert sol.iteration_number == expected
+
+
+@pytest.mark.slow
+def test_plain_gmres_3d_knife_edge_exact_tf32():
+    """3D nx=4 plain GMRES: 27 exactly (petsc_perf_breakdown_3d.csv; the
+    df32 trajectory drifts to 28 — the last of the three round-4 drift
+    cells, docs/design.md §7)."""
+    from perphil_tpu.mesh import create_cube_mesh
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
+
+    mesh = create_cube_mesh(4, 4, 4)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    params = DPPParameters()
+    _, p1e, _, p2e = exact_expressions_3d(mesh, params)
+    bcs = [DirichletBC(W.sub(0), p1e), DirichletBC(W.sub(1), p2e)]
+    sol = solve_dpp(W, params, bcs, solver_parameters=sp.PLAIN_GMRES_PARAMS)
+    assert sol.iteration_number == 27
+
+
 @pytest.mark.parametrize("N,ref_its", [(4, 16), (8, 63), (16, 194)])
 def test_picard_ngs_iterations_exact(N, ref_its):
     """SNES 'ngs' Picard counts are EXACT under the pinned coloring draw
