@@ -27,6 +27,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # PETSc's KSPConvergedDefault divergence tolerance (divtol) default.
@@ -477,18 +478,18 @@ def gmres_tf(
     dtol: float = DEFAULT_DTOL,
 ):
     """Restarted GMRES on TRIPLE-float vectors (``ops/tf32``, ~71-bit) —
-    the knife-edge mode for tiny unpreconditioned systems.
+    a MEASUREMENT INSTRUMENT, not a production mode.
 
     Same structure, stopping semantics, and f64 scalar recurrence as
-    :func:`gmres_df`; only the vector arithmetic is wider. Rationale
-    (docs/design.md §7): the df32 49-bit trajectory drifts +1 against
-    PETSc at two published knife-edge cells (2D N=8: 41 vs 40, 3D nx=4:
-    28 vs 27) — and the drift provably does NOT live in the scalar chain
-    (gmres_df already carries Hessenberg/Givens in exact f64). A tf32
-    trajectory tracks exact arithmetic ~2^-70, below PETSc's own f64
-    rounding, so it lands on PETSc's side of the convergence boundary.
-    Unpreconditioned only — every preconditioned count is already exact
-    in df32 at the sizes this mode serves.
+    :func:`gmres_df`; only the vector arithmetic is wider. Measured
+    verdict (docs/design.md §7): at the knife-edge cells more-than-f64
+    precision UNDERSHOOTS PETSc's counts — 2D N=8 lands 38 (PETSc 40,
+    df32 42-on-CPU/41-fused) because PETSc's own f64 rounding DELAYS
+    convergence in the stagnation tail, and a ~2^-71 trajectory tracks
+    the (faster) exact one. This function is the experiment that
+    established that; the production knife-edge mode is
+    :func:`gmres_ef64` (f64-FAITHFUL arithmetic), whose on-chip twin is
+    ``ops/pallas_gmres._build_cycle_ef64``.
     """
     from perphil_tpu.ops.tf32 import (
         tf_add,
@@ -586,6 +587,147 @@ def gmres_tf(
     init_done = rnorm0 <= tol
     x, its, rnorm, _ = lax.while_loop(
         outer_cond, cycle, (x0_tf, jnp.asarray(0), rnorm0, init_done)
+    )
+    return KrylovResult(x, its, rnorm, rnorm <= tol)
+
+
+def gmres_ef64(
+    A: Callable,
+    b,
+    x0=None,
+    rtol: float = 1.0e-5,
+    atol: float = 1.0e-50,
+    max_it: int = 10000,
+    restart: int = 30,
+    dtol: float = DEFAULT_DTOL,
+):
+    """Restarted GMRES in f64 with the FUSED KERNEL's reduction structure
+    — the knife-edge parity mode's XLA twin (CPU validation surface).
+
+    Why f64-faithful and not wider (docs/design.md §7, measured): at the
+    knife-edge cells (2D N=8 -> 40, 3D nx=4 -> 27) the published PETSc
+    count includes delay caused by PETSc's OWN f64 rounding — df32
+    (~49-bit) overshoots (42/28), tf32 (~71-bit) undershoots (38), and
+    only f64-grade per-op rounding lands the published number. Counts are
+    robust to op ORDER within the f64 class (the 111-row CPU parity
+    record spans XLA's reassociations), so this implementation uses
+    pairwise halving-tree reductions — the same shape the Pallas ef64
+    kernel (``ops/pallas_gmres._build_cycle_ef64``) realizes on f32
+    triples with round-to-f64-grid after every op
+    (``experiments/f64_structure_probe.py`` pins both cells).
+
+    ``A``, ``b``, ``x0`` are plain f64 (stacked-grid shaped); on CPU this
+    IS f64-faithful arithmetic by construction.
+    """
+    m = int(restart)
+    shape = b.shape
+
+    def _tree(p, keep_leading=0):
+        lead = p.shape[:keep_leading]
+        L = int(np.prod(p.shape[keep_leading:])) if p.ndim > keep_leading else 1
+        p = p.reshape(lead + (L,))
+        L2 = 1 << max(0, (L - 1).bit_length())
+        if L2 != L:
+            p = jnp.pad(p, [(0, 0)] * len(lead) + [(0, L2 - L)])
+        while L2 > 1:
+            half = L2 // 2
+            p = p[..., :half] + p[..., half:]
+            L2 = half
+        return p[..., 0]
+
+    def basis_dot(V, w):
+        return _tree(V * w[None], keep_leading=1)
+
+    def basis_comb(h, V):
+        t = h.reshape((-1,) + (1,) * b.ndim) * V
+        return _tree(jnp.moveaxis(t, 0, -1), keep_leading=b.ndim)
+
+    def vnorm(v):
+        return jnp.sqrt(_tree(v * v))
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    def _residual(x):
+        return b - A(x)
+
+    r0 = _residual(x0)
+    rnorm0 = vnorm(r0)
+    tol = jnp.maximum(rtol * rnorm0, atol)
+    div = dtol * rnorm0
+
+    def cycle(state):
+        x, its, rnorm, done = state
+        r = _residual(x)
+        beta = vnorm(r)
+        inv = jnp.where(beta > 0.0, 1.0 / beta, 1.0)
+        v0 = r * inv
+        V = jnp.zeros((m + 1,) + shape, dtype=b.dtype).at[0].set(v0)
+        R = jnp.zeros((m, m), dtype=b.dtype)
+        g = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+        cs = jnp.zeros(m, dtype=b.dtype)
+        sn = jnp.zeros(m, dtype=b.dtype)
+
+        def inner_cond(carry):
+            *_, j, its_i, rnorm_i, _x = carry
+            ok = (j < m) & (its_i < max_it)
+            ok &= rnorm_i > jnp.maximum(tol, 0.0)
+            ok &= rnorm_i <= div
+            return ok
+
+        def arnoldi_step(carry):
+            V, R, g, cs, sn, j, its_i, rnorm_i, x_i = carry
+            w = A(V[j])
+            h = basis_dot(V, w)
+            w = w - basis_comb(h, V)
+            hj1 = vnorm(w)
+            inv = jnp.where(hj1 > 0.0, 1.0 / hj1, 1.0)
+            V = V.at[j + 1].set(w * inv)
+            hfull = h.at[jnp.minimum(j + 1, m)].set(
+                jnp.where(j + 1 <= m, hj1, 0.0)
+            )
+            hfull = _apply_rotations_scanned(hfull, cs, sn, j, m)
+            a_ = hfull[j]
+            b_ = hfull[j + 1]
+            denom = jnp.sqrt(a_ * a_ + b_ * b_)
+            denom_safe = jnp.where(denom > 0.0, denom, 1.0)
+            c_new = jnp.where(denom > 0.0, a_ / denom_safe, 1.0)
+            s_new = jnp.where(denom > 0.0, b_ / denom_safe, 0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            hfull = hfull.at[j].set(c_new * a_ + s_new * b_).at[j + 1].set(0.0)
+            R = R.at[:, j].set(hfull[:m])
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+            rnorm_i = jnp.abs(g[j + 1])
+            return V, R, g, cs, sn, j + 1, its_i + 1, rnorm_i, x_i
+
+        carry = (V, R, g, cs, sn, jnp.asarray(0), its, beta, x)
+        V, R, g, cs, sn, j, its, rnorm, x = lax.while_loop(
+            inner_cond, arnoldi_step, carry
+        )
+        col = jnp.arange(m)
+        Rm = jnp.where(
+            (col[None, :] >= j) & (col[:, None] == col[None, :]), 1.0, R
+        )
+        Rm = jnp.where(
+            (col[None, :] >= j) & (col[:, None] != col[None, :]), 0.0, Rm
+        )
+        gm = jnp.where(col < j, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+        x = x + basis_comb(y, V[:m])
+        done = (
+            (rnorm <= tol)
+            | (its >= max_it)
+            | (rnorm > div)
+            | ~jnp.isfinite(rnorm)
+            | (j == 0)
+        )
+        return x, its, rnorm, done
+
+    init_done = rnorm0 <= tol
+    x, its, rnorm, _ = lax.while_loop(
+        lambda s: ~s[3], cycle, (x0, jnp.asarray(0), rnorm0, init_done)
     )
     return KrylovResult(x, its, rnorm, rnorm <= tol)
 

@@ -250,6 +250,210 @@ def _acc_tap(acc, entry, v):
     return fast_two_sum(s, e)
 
 
+# ---------------------------------------------------------------------------
+# triple-float helpers (the knife-edge tf mode — see ops/tf32 for the value
+# model; these are the packed-plane ports used by _build_cycle_ef64)
+# ---------------------------------------------------------------------------
+
+
+def _renorm3(a0, a1, a2):
+    """Compress three roughly-ordered f32 components into a canonical
+    triple (|mid| <= ulp(hi), |lo| <= ulp(mid)) — ``tf32._renorm3``."""
+    s1, e2 = two_sum(a1, a2)
+    s0, e1 = two_sum(a0, s1)
+    t1, t2 = fast_two_sum(e1, e2)
+    return s0, t1, t2
+
+
+def _tf_add3(x, y):
+    """Triple-float add, ~2^-72 relative (``tf32.tf_add``)."""
+    r0, e0 = two_sum(x[0], y[0])
+    t1, d1 = two_sum(x[1], y[1])
+    r1, d2 = two_sum(e0, t1)
+    r2 = d1 + d2 + x[2] + y[2]
+    return _renorm3(r0, r1, r2)
+
+
+def _tf_sub3(x, y):
+    return _tf_add3(x, (-y[0], -y[1], -y[2]))
+
+
+def _tf_mask3(x, m):
+    return x[0] * m, x[1] * m, x[2] * m
+
+
+def _tf_prod3(u, v):
+    """Elementwise u*v of triples -> unnormalized-then-renormed triple
+    (``tf32._tf_prod_terms``)."""
+    p0, e0 = two_prod(u[0], v[0])
+    p1, e1 = two_prod(u[0], v[1])
+    p2, e2 = two_prod(u[1], v[0])
+    tail = u[1] * v[1] + u[0] * v[2] + u[2] * v[0] + e1 + e2
+    s1, d1 = two_sum(p1, p2)
+    s1, d2 = two_sum(s1, e0)
+    return _renorm3(p0, s1, d1 + d2 + tail)
+
+
+def _shift_tf(a, dr: int, dc: int):
+    return _shift(a[0], dr, dc), _shift(a[1], dr, dc), _shift(a[2], dr, dc)
+
+
+def _shift_sum_tf(a, shifts):
+    """Sum of zero-fill shifts of a triple (images disjoint on real
+    positions — see ``_shift_sum_df``)."""
+    if not shifts:
+        z = jnp.zeros_like(a[0])
+        return z, z, z
+    out = _shift_tf(a, *shifts[0])
+    for dr, dc in shifts[1:]:
+        nxt = _shift_tf(a, dr, dc)
+        out = (out[0] + nxt[0], out[1] + nxt[1], out[2] + nxt[2])
+    return out
+
+
+def _tf_mul_wconst3(v, w: float):
+    """v * w for a trace-time f64 constant w (triples -> ~2^-71-accurate
+    unrounded triple): exact 3-word split of w, EFT main and first-order
+    cross products, f32 second-order tail (``tf32._tf_mul_words``)."""
+    wh = np.float32(w)
+    r = float(w) - float(wh)
+    wm = np.float32(r)
+    wl = np.float32(r - float(wm))
+    p0, e0 = _two_prod_wconst(v[0], wh)
+    p1, e1 = _two_prod_wconst(v[0], wm)
+    p2, e2 = _two_prod_wconst(v[1], wh)
+    t3 = v[1] * wm + v[0] * wl + v[2] * wh
+    s1, d1 = two_sum(p1, p2)
+    s1, d2 = two_sum(s1, e0)
+    return _renorm3(p0, s1, d1 + d2 + e1 + e2 + t3)
+
+
+# ---------------------------------------------------------------------------
+# ef64: f64-FAITHFUL emulation on f32 triples (the knife-edge parity mode)
+#
+# Every op computes its result to ~2^-71 (triple EFTs) and then ROUNDS it
+# to the nearest value on the f64 grid — reproducing a correctly-rounded
+# IEEE f64 op except when the exact result lies within 2^-71-relative of a
+# rounding boundary (a ~2^-18-probability one-ulp64 tie per op, far below
+# the f64-class noise every op carries anyway). Rationale and measured
+# evidence: docs/design.md §7 + experiments/f64_structure_probe.py — the
+# knife-edge counts need f64's accuracy CLASS exactly (df32 overshoots,
+# tf32 undershoots); order within the class is free.
+# ---------------------------------------------------------------------------
+
+_EF_C23 = np.float32(2.0**-23)
+_EF_CF = np.float32(1.5 * 2.0**-6)
+_EF_CB = np.float32(1.5)
+
+
+def _ef_round(x):
+    """Round a canonical triple to the nearest f64-grid value, bitcast-free
+    (Mosaic-scalar-safe — SMEM values use the same routine as vectors).
+
+    With ``x = (a0, a1, a2)`` canonical (|a1| <= ulp(a0)/2), the f64
+    rounding cut sits at ``2^(e0-52)`` where ``e0 = exponent(a0)``:
+
+    1. extract ``P = 2^(e0-23)`` EXACTLY via the add-peeling trick
+       (``r = RN(|a0| + |a0|*2^-23) - |a0|`` is ``k*2^(e0-23)``, k in
+       {1,2}, and ``k=1  <=>  r <= |a0|*2^-23``),
+    2. split the tail ``z = a1 (+) a2`` exactly at grid ``2^(e0-46)``
+       with the constant ``1.5*P`` (|z| <= 0.75*2^(e0-23) keeps the sum
+       in P's binade, so the subtraction is Sterbenz-exact),
+    3. round the sub-grid remainder at ``2^(e0-52)`` with ``1.5*P*2^-6``.
+
+    Zero / subnormal ``a0`` degrade to a no-op (value preserved), which
+    only affects magnitudes far below every tolerance in play. The result
+    components are exact multiples of the grid, so follow-on EFT ops see
+    a genuine f64 value.
+    """
+    a0, a1, a2 = x
+    a = jnp.abs(a0)
+    q = a * _EF_C23
+    r = (a + q) - a  # exact: k * 2^(e0-23)
+    P = jnp.where(r <= q, r, 0.5 * r)  # 2^(e0-23) exactly
+    CB = P * _EF_CB
+    CF = P * _EF_CF
+    z1, z2 = two_sum(a1, a2)
+    t_hi = (z1 + CB) - CB  # z1 rounded to grid 2^(e0-46), remainder exact
+    d = z1 - t_hi
+    u = d + z2
+    t_lo = (u + CF) - CF  # remainder rounded at the f64 cut 2^(e0-52)
+    return a0, t_hi, t_lo
+
+
+def _e_add(x, y):
+    return _ef_round(_tf_add3(x, y))
+
+
+def _e_sub(x, y):
+    return _ef_round(_tf_add3(x, (-y[0], -y[1], -y[2])))
+
+
+def _e_mul(x, y):
+    return _ef_round(_tf_prod3(x, y))
+
+
+def _e_mul_wconst(v, w: float):
+    return _ef_round(_tf_mul_wconst3(v, w))
+
+
+def _e_div(a, b):
+    """Faithful f64 division a / b (triples; two Newton corrections reach
+    ~2^-70 before the grid rounding)."""
+    b0s = jnp.where(jnp.abs(b[0]) > 0.0, b[0], 1.0)
+    q0 = a[0] / b0s
+    r = _tf_add3(a, _tf_neg_prod(q0, b))
+    q1 = (r[0] + r[1]) / b0s
+    r2 = _tf_add3(a, _tf_neg_prod2(q0, q1, b))
+    q2 = (r2[0] + r2[1]) / b0s
+    return _ef_round(_renorm3(q0, q1, q2))
+
+
+def _tf_neg_prod(q0, b):
+    """-(q0 * b) as an unrounded triple (q0 a bare f32)."""
+    t = _tf_prod3((q0, jnp.zeros_like(q0), jnp.zeros_like(q0)), b)
+    return (-t[0], -t[1], -t[2])
+
+
+def _tf_neg_prod2(q0, q1, b):
+    """-((q0 + q1) * b) as an unrounded triple."""
+    z = jnp.zeros_like(q0)
+    t = _tf_prod3(_renorm3(q0, q1, z), b)
+    return (-t[0], -t[1], -t[2])
+
+
+def _e_sqrt(a):
+    """Faithful f64 square root (triples; two Newton corrections)."""
+    s0 = jnp.sqrt(jnp.maximum(a[0], 0.0))
+    safe = jnp.where(s0 > 0.0, 2.0 * s0, 1.0)
+    p, pe = two_prod(s0, s0)
+    r = _tf_add3(a, (-p, -pe, jnp.zeros_like(p)))
+    c1 = jnp.where(s0 > 0.0, (r[0] + r[1]) / safe, 0.0)
+    z = jnp.zeros_like(s0)
+    sq = _tf_prod3(_renorm3(s0, c1, z), _renorm3(s0, c1, z))
+    r2 = _tf_add3(a, (-sq[0], -sq[1], -sq[2]))
+    c2 = jnp.where(s0 > 0.0, (r2[0] + r2[1]) / safe, 0.0)
+    return _ef_round(_renorm3(s0, c1, c2))
+
+
+def _e_gt(a, b):
+    """a > b for f64-grid triples (componentwise lexicographic)."""
+    return (
+        (a[0] > b[0])
+        | ((a[0] == b[0]) & (a[1] > b[1]))
+        | ((a[0] == b[0]) & (a[1] == b[1]) & (a[2] > b[2]))
+    )
+
+
+def _e_abs(a):
+    neg = a[0] < 0.0
+    return (
+        jnp.where(neg, -a[0], a[0]),
+        jnp.where(neg, -a[1], a[1]),
+        jnp.where(neg, -a[2], a[2]),
+    )
+
+
 def _stencil_applier(st: np.ndarray):
     """Trace-time plan for applying a constant stencil to shifted df sums:
     returns ``(scale, active, tap)`` where ``active`` is the set of stencil
@@ -673,6 +877,54 @@ def build_packed_matvec(geo, op, coupling: bool = True):
             )
             y = _axpy_const(y, -bs, swap)
         return df_add(_df_mask(y, imask), _df_mask(z, bmask))
+
+    return _matvec
+
+
+def build_packed_matvec_ef64(geo, op):
+    """In-kernel packed ef64 (f64-faithful) matvec with symmetric BC
+    elimination — the knife-edge twin of ``build_packed_matvec``: same
+    geometry/offset plan, but every tap product and accumulation is an
+    individually grid-rounded f64-grade op (matching the accuracy class of
+    the native ``DPPOperator.matvec``, whose order-robustness the
+    ``f64_structure_probe`` established). Used by the fused ef64 GMRES
+    only (pc none), so no ``coupling=False`` variant."""
+    K_st, M_st = compile_stencils(op.mesh)
+    K_st = np.asarray(K_st, np.float64)
+    M_st = np.asarray(M_st, np.float64)
+    p = op.params
+    k1w, k2w, bw = float(p.k1 / p.mu), float(p.k2 / p.mu), float(p.beta / p.mu)
+    Rp, Wp = geo.Rp, geo.Wp
+    actK = {s for s in np.ndindex(K_st.shape) if float(K_st[s]) != 0.0}
+    actM = {s for s in np.ndindex(M_st.shape) if float(M_st[s]) != 0.0}
+
+    def _matvec(z, imask, bmask, fmask):
+        zi = _tf_mask3(z, imask)
+        zp = jnp.zeros((Rp, Wp), jnp.float32)
+        zero = (zp, zp, zp)
+        Kz = zero
+        Mz = zero
+        for sidx, shifts in geo.offsets():
+            if sidx not in actK and sidx not in actM:
+                continue
+            sh = _shift_sum_tf(zi, shifts)
+            if sidx in actK:
+                Kz = _e_add(Kz, _e_mul_wconst(sh, float(K_st[sidx])))
+            if sidx in actM:
+                Mz = _e_add(Mz, _e_mul_wconst(sh, float(M_st[sidx])))
+        Kz1 = _tf_mask3(Kz, fmask)
+        Kz2 = _tf_mask3(Kz, 1.0 - fmask)
+        y = _e_add(_e_mul_wconst(Kz1, k1w), _e_mul_wconst(Kz2, k2w))
+        y = _e_add(y, _e_mul_wconst(Mz, bw))
+        dr_f, dc_f = geo.field_shift
+        swap = tuple(
+            _shift(c, -dr_f, -dc_f) + _shift(c, dr_f, dc_f) for c in Mz
+        )
+        y = _e_sub(y, _e_mul_wconst(swap, bw))
+        # identity boundary rows: images disjoint, the component add is exact
+        yi = _tf_mask3(y, imask)
+        zb = _tf_mask3(z, bmask)
+        return (yi[0] + zb[0], yi[1] + zb[1], yi[2] + zb[2])
 
     return _matvec
 
@@ -1574,6 +1826,505 @@ def _build_cycle(op, m: int, debug: bool = False, pc_type: str = "none"):
         )
 
     return solve_call, geo
+
+
+def _build_cycle_ef64(op, m: int):
+    """The knife-edge ef64 (f64-FAITHFUL) twin of ``_build_cycle``
+    (pc none only).
+
+    Identical restart/Givens/stopping structure; EVERY op — vector and
+    SMEM scalar — is an f64-grade faithfully-rounded op on f32 triples
+    (``_e_add``/``_e_mul``/``_e_div``/``_e_sqrt`` + ``_ef_round``).
+    Measured rationale (docs/design.md §7): the knife-edge counts need
+    f64's accuracy class EXACTLY — df32 (~49-bit) overshoots (2D N=8: 42,
+    PETSc 40), tf32 (~71-bit) undershoots (38) because PETSc's own f64
+    rounding delays convergence in the stagnation tail; per-op f64-grade
+    rounding with free op order lands 40/27
+    (``experiments/f64_structure_probe.py``). Single-pass CGS — the f64
+    class's own orthogonality, like PETSc's. Any edit to the
+    Givens/back-substitution blocks here must mirror ``_build_cycle``'s
+    (deliberate twin; the df kernel is the template).
+    """
+    ns = tuple(op.mesh.node_shape)
+    geo = _geometry(
+        op,
+        group=_plane_group(ns),
+        field_lanes=_use_field_lanes(ns),
+    )
+    Rp, Wp = geo.Rp, geo.Wp
+    m1 = m + 1
+    mS = _next_pow2(m1)
+    nS = m1 + 1
+    _matvec = build_packed_matvec_ef64(geo, op)
+
+    def _basis_dots_e(V, w):
+        """<V[i], w> for all basis rows -> (mS, 1, Wp) f64-grid triples
+        (lane-replicated): per-element f64-grade products + f64-grade
+        halving trees (rows, then a lane rotate+add butterfly)."""
+        t = _e_mul(V, (w[0][None], w[1][None], w[2][None]))
+        R = Rp
+        while R > 1:
+            half = R // 2
+            t = _e_add(
+                (t[0][:, :half], t[1][:, :half], t[2][:, :half]),
+                (t[0][:, half:R], t[1][:, half:R], t[2][:, half:R]),
+            )
+            R = half
+        sh_ = Wp // 2
+        while sh_ >= 1:
+            rolled = tuple(pltpu.roll(c, jnp.int32(sh_), 2) for c in t)
+            t = _e_add(t, rolled)
+            sh_ //= 2
+        return t
+
+    def _basis_comb_e(V, s):
+        """sum_i s[i] * V[i] -> (Rp, Wp) triple (s lane-replicated
+        triples), f64-grade per element and per tree level."""
+        t = _e_mul(V, s)
+        B = mS
+        while B > 1:
+            half = B // 2
+            t = _e_add(
+                (t[0][:half], t[1][:half], t[2][:half]),
+                (t[0][half:B], t[1][half:B], t[2][half:B]),
+            )
+            B = half
+        return t[0][0], t[1][0], t[2][0]
+
+    def _tree_dot_e(u, v):
+        """f64-grade dot of packed triples -> f64-grid triple scalar."""
+        t = _e_mul(u, v)
+        R = Rp
+        while R > 1:
+            half = R // 2
+            t = _e_add(
+                (t[0][:half], t[1][:half], t[2][:half]),
+                (t[0][half:R], t[1][half:R], t[2][half:R]),
+            )
+            R = half
+        C = Wp
+        while C > 1:
+            half = C // 2
+            t = _e_add(
+                (t[0][:, :half], t[1][:, :half], t[2][:, :half]),
+                (t[0][:, half:C], t[1][:, half:C], t[2][:, half:C]),
+            )
+            C = half
+        return t[0][0, 0], t[1][0, 0], t[2][0, 0]
+
+    def kernel(*refs):
+        (
+            xh_ref, xm_ref, xl_ref, bh_ref, bm_ref, bl_ref,
+            im_ref, bmk_ref, fm_ref,
+        ) = refs[:9]
+        (its_ref, rtol_ref, atol_ref, dtol_ref, maxit_ref) = refs[9:14]
+        outs = refs[14:21]
+        oxh_ref, oxm_ref, oxl_ref, oj_ref, oits_ref, orn_ref, oconv_ref = outs
+        (Vh_ref, Vm_ref, Vl_ref,
+         hh_ref, hm_ref, hl_ref,
+         csh_ref, csm_ref, csl_ref,
+         snh_ref, snm_ref, snl_ref,
+         gh_ref, gm_ref, gl_ref,
+         yh_ref, ym_ref, yl_ref,
+         rn_ref, st_ref, td_ref,
+         Rh_ref, Rm_ref, Rl_ref) = refs[21:]
+        imask = im_ref[:]
+        bmask = bmk_ref[:]
+        fmask = fm_ref[:]
+        b = (bh_ref[:], bm_ref[:], bl_ref[:])
+        max_it = maxit_ref[0]
+
+        oxh_ref[:] = xh_ref[:]
+        oxm_ref[:] = xm_ref[:]
+        oxl_ref[:] = xl_ref[:]
+
+        def _x():
+            return (oxh_ref[:], oxm_ref[:], oxl_ref[:])
+
+        def _h(i):
+            return (hh_ref[i], hm_ref[i], hl_ref[i])
+
+        def _g(i):
+            return (gh_ref[i], gm_ref[i], gl_ref[i])
+
+        def _rn():
+            return (rn_ref[0], rn_ref[1], rn_ref[2])
+
+        def _tol():
+            return (td_ref[0], td_ref[1], td_ref[2])
+
+        def _div():
+            return (td_ref[3], td_ref[4], td_ref[5])
+
+        r0 = _e_sub(b, _matvec(_x(), imask, bmask, fmask))
+        beta0 = _e_sqrt(_tree_dot_e(r0, r0))
+        rtol_t = (rtol_ref[0], rtol_ref[1], rtol_ref[2])
+        atol_t = (atol_ref[0], atol_ref[1], atol_ref[2])
+        dtol_t = (dtol_ref[0], dtol_ref[1], dtol_ref[2])
+        t_rel = _e_mul(rtol_t, beta0)
+        use_rel = _e_gt(t_rel, atol_t)
+        tol = tuple(
+            jnp.where(use_rel, t_rel[k], atol_t[k]) for k in range(3)
+        )
+        div = _e_mul(dtol_t, beta0)
+        for k in range(3):
+            td_ref[k] = tol[k]
+            td_ref[3 + k] = div[k]
+            rn_ref[k] = beta0[k]
+        st_ref[0] = its_ref[0]
+        st_ref[1] = 0
+
+        def one_cycle():
+            r = _e_sub(b, _matvec(_x(), imask, bmask, fmask))
+            beta = _e_sqrt(_tree_dot_e(r, r))
+            nz = beta[0] > 0.0
+            one = (
+                jnp.ones((), jnp.float32),
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32),
+            )
+            inv = _e_div(one, beta)
+            inv = tuple(
+                jnp.where(nz, inv[k], one[k]) for k in range(3)
+            )
+            v0 = _e_mul(r, inv)
+
+            Vh_ref[:] = jnp.zeros((mS, Rp, Wp), jnp.float32)
+            Vm_ref[:] = jnp.zeros((mS, Rp, Wp), jnp.float32)
+            Vl_ref[:] = jnp.zeros((mS, Rp, Wp), jnp.float32)
+            Vh_ref[0] = v0[0]
+            Vm_ref[0] = v0[1]
+            Vl_ref[0] = v0[2]
+            for i in range(nS):
+                yh_ref[i] = 0.0
+                ym_ref[i] = 0.0
+                yl_ref[i] = 0.0
+
+            def zero_R(i, carry):
+                for k in range(m1):
+                    Rh_ref[i, k] = 0.0
+                    Rm_ref[i, k] = 0.0
+                    Rl_ref[i, k] = 0.0
+                return carry
+
+            _fori(m1, zero_R, 0)
+            gh_ref[0] = beta[0]
+            gm_ref[0] = beta[1]
+            gl_ref[0] = beta[2]
+            for k in range(3):
+                rn_ref[k] = beta[k]
+            st_ref[1] = 0
+
+            def body(j, _):
+                rnorm = _rn()
+                its = st_ref[0]
+                ok = (st_ref[1] == j) & (its < max_it)
+                ok &= _e_gt(rnorm, _tol())
+                ok &= jnp.logical_not(_e_gt(rnorm, _div()))
+
+                @pl.when(ok)
+                def _():
+                    vj = (Vh_ref[j], Vm_ref[j], Vl_ref[j])
+                    w = _matvec(vj, imask, bmask, fmask)
+                    V = (Vh_ref[:], Vm_ref[:], Vl_ref[:])
+                    s = _basis_dots_e(V, w)  # (mS, 1, Wp) triples
+                    w = _e_sub(w, _basis_comb_e(V, s))
+                    for j2 in range(m1):
+                        hh_ref[j2] = s[0][j2, 0, 0]
+                        hm_ref[j2] = s[1][j2, 0, 0]
+                        hl_ref[j2] = s[2][j2, 0, 0]
+                    hj1 = _e_sqrt(_tree_dot_e(w, w))
+                    pos = hj1[0] > 0.0
+                    one = (
+                        jnp.ones((), jnp.float32),
+                        jnp.zeros((), jnp.float32),
+                        jnp.zeros((), jnp.float32),
+                    )
+                    invn = _e_div(one, hj1)
+                    invn = tuple(
+                        jnp.where(pos, invn[k], one[k]) for k in range(3)
+                    )
+                    wn = _e_mul(w, invn)
+                    Vh_ref[j + 1] = wn[0]
+                    Vm_ref[j + 1] = wn[1]
+                    Vl_ref[j + 1] = wn[2]
+                    hh_ref[j + 1] = hj1[0]
+                    hm_ref[j + 1] = hj1[1]
+                    hl_ref[j + 1] = hj1[2]
+
+                    # stored Givens rotations 0..j-1 — structural twin of
+                    # _build_cycle's chain, every op f64-faithful
+                    def rot(i, carry):
+                        @pl.when(i < j)
+                        def _():
+                            c = (csh_ref[i], csm_ref[i], csl_ref[i])
+                            s_ = (snh_ref[i], snm_ref[i], snl_ref[i])
+                            hi_ = _h(i)
+                            hi1 = _h(i + 1)
+                            t0 = _e_add(_e_mul(c, hi_), _e_mul(s_, hi1))
+                            t1 = _e_sub(_e_mul(c, hi1), _e_mul(s_, hi_))
+                            hh_ref[i] = t0[0]
+                            hm_ref[i] = t0[1]
+                            hl_ref[i] = t0[2]
+                            hh_ref[i + 1] = t1[0]
+                            hm_ref[i + 1] = t1[1]
+                            hl_ref[i + 1] = t1[2]
+
+                        return carry
+
+                    _fori(m, rot, 0)
+
+                    a_ = _h(j)
+                    b_ = _h(j + 1)
+                    den = _e_sqrt(
+                        _e_add(_e_mul(a_, a_), _e_mul(b_, b_))
+                    )
+                    dpos = den[0] > 0.0
+                    den_s = (
+                        jnp.where(dpos, den[0], 1.0),
+                        jnp.where(dpos, den[1], 0.0),
+                        jnp.where(dpos, den[2], 0.0),
+                    )
+                    cn = _e_div(a_, den_s)
+                    sn_ = _e_div(b_, den_s)
+                    cn = (
+                        jnp.where(dpos, cn[0], 1.0),
+                        jnp.where(dpos, cn[1], 0.0),
+                        jnp.where(dpos, cn[2], 0.0),
+                    )
+                    sn_ = (
+                        jnp.where(dpos, sn_[0], 0.0),
+                        jnp.where(dpos, sn_[1], 0.0),
+                        jnp.where(dpos, sn_[2], 0.0),
+                    )
+                    csh_ref[j] = cn[0]
+                    csm_ref[j] = cn[1]
+                    csl_ref[j] = cn[2]
+                    snh_ref[j] = sn_[0]
+                    snm_ref[j] = sn_[1]
+                    snl_ref[j] = sn_[2]
+                    hjj = _e_add(_e_mul(cn, a_), _e_mul(sn_, b_))
+                    hh_ref[j] = hjj[0]
+                    hm_ref[j] = hjj[1]
+                    hl_ref[j] = hjj[2]
+                    hh_ref[j + 1] = 0.0
+                    hm_ref[j + 1] = 0.0
+                    hl_ref[j + 1] = 0.0
+
+                    def copycol(i, carry):
+                        Rh_ref[i, j] = hh_ref[i]
+                        Rm_ref[i, j] = hm_ref[i]
+                        Rl_ref[i, j] = hl_ref[i]
+                        return carry
+
+                    _fori(m, copycol, 0)
+
+                    gj = _g(j)
+                    t0 = _e_mul(cn, gj)
+                    t1 = _e_mul(sn_, gj)
+                    gh_ref[j] = t0[0]
+                    gm_ref[j] = t0[1]
+                    gl_ref[j] = t0[2]
+                    gh_ref[j + 1] = -t1[0]
+                    gm_ref[j + 1] = -t1[1]
+                    gl_ref[j + 1] = -t1[2]
+                    rnew = _e_abs(_g(j + 1))
+                    rn_ref[0] = rnew[0]
+                    rn_ref[1] = rnew[1]
+                    rn_ref[2] = rnew[2]
+                    st_ref[0] = its + 1
+                    st_ref[1] = j + 1
+
+                return _
+
+            _fori(m, lambda j, c: (body(j, c), 0)[1], 0)
+            j = st_ref[1]
+
+            def back(i2, carry):
+                i = m - 1 - i2
+
+                @pl.when(i < j)
+                def _():
+                    def inner(k, acc):
+                        take = k > i
+                        term = _e_mul(
+                            (Rh_ref[i, k], Rm_ref[i, k], Rl_ref[i, k]),
+                            (yh_ref[k], ym_ref[k], yl_ref[k]),
+                        )
+                        masked = tuple(
+                            jnp.where(take, term[t], 0.0) for t in range(3)
+                        )
+                        return _e_add(acc, masked)
+
+                    z0 = jnp.zeros((), jnp.float32)
+                    acc = _fori(m, inner, (z0, z0, z0))
+                    s_ = _e_sub(_g(i), acc)
+                    rii = (Rh_ref[i, i], Rm_ref[i, i], Rl_ref[i, i])
+                    safe = jnp.abs(rii[0]) > 0.0
+                    rii_s = (
+                        jnp.where(safe, rii[0], 1.0),
+                        jnp.where(safe, rii[1], 0.0),
+                        jnp.where(safe, rii[2], 0.0),
+                    )
+                    yi = _e_div(s_, rii_s)
+                    yh_ref[i] = jnp.where(safe, yi[0], 0.0)
+                    ym_ref[i] = jnp.where(safe, yi[1], 0.0)
+                    yl_ref[i] = jnp.where(safe, yi[2], 0.0)
+
+                return carry
+
+            _fori(m, back, 0)
+
+            # x += sum_i y_i V_i (pairwise f64-grade tree)
+            terms = [
+                _e_mul(
+                    (Vh_ref[j2], Vm_ref[j2], Vl_ref[j2]),
+                    (yh_ref[j2], ym_ref[j2], yl_ref[j2]),
+                )
+                for j2 in range(m)
+            ]
+            while len(terms) > 1:
+                nxt = []
+                for i in range(0, len(terms) - 1, 2):
+                    nxt.append(_e_add(terms[i], terms[i + 1]))
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            xnew = _e_add(_x(), terms[0])
+            oxh_ref[:] = xnew[0]
+            oxm_ref[:] = xnew[1]
+            oxl_ref[:] = xnew[2]
+            return j
+
+        def _done_now():
+            rnorm = _rn()
+            rsum = rn_ref[0] + rn_ref[1]
+            done = jnp.logical_not(_e_gt(rnorm, _tol()))
+            done |= st_ref[0] >= max_it
+            done |= _e_gt(rnorm, _div())
+            done |= jnp.logical_not(jnp.isfinite(rsum))
+            return done
+
+        init_done = _done_now()
+
+        def cycle_cond(carry):
+            return carry == 0
+
+        def cycle_body(carry):
+            j = one_cycle()
+            done = _done_now() | (j == 0)
+            return jnp.where(done, jnp.int32(1), jnp.int32(0))
+
+        lax.while_loop(
+            cycle_cond,
+            cycle_body,
+            jnp.where(init_done, jnp.int32(1), jnp.int32(0)),
+        )
+
+        oj_ref[0] = st_ref[1]
+        oits_ref[0] = st_ref[0]
+        orn_ref[0] = rn_ref[0]
+        orn_ref[1] = rn_ref[1]
+        orn_ref[2] = rn_ref[2]
+        conv = jnp.logical_not(_e_gt(_rn(), _tol()))
+        oconv_ref[0] = jnp.where(conv, jnp.int32(1), jnp.int32(0))
+
+    imask_a = jnp.asarray(geo.imask)
+    bmask_a = jnp.asarray(geo.bmask)
+    fmask_a = jnp.asarray(geo.fmask)
+
+    def solve_call(xh, xm, xl, bh, bm, bl, its, rtol3, atol3, dtol3, max_it):
+        out_shape = (
+            jax.ShapeDtypeStruct((Rp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        )
+        vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+        sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=[vm] * 9 + [sm] * 5,
+            out_specs=(vm, vm, vm, sm, sm, sm, sm),
+            scratch_shapes=[
+                pltpu.VMEM((mS, Rp, Wp), jnp.float32),
+                pltpu.VMEM((mS, Rp, Wp), jnp.float32),
+                pltpu.VMEM((mS, Rp, Wp), jnp.float32),
+            ]
+            + [pltpu.SMEM((nS,), jnp.float32)] * 15
+            + [
+                pltpu.SMEM((3,), jnp.float32),  # rn_ref
+                pltpu.SMEM((2,), jnp.int32),  # st_ref (its, j)
+                pltpu.SMEM((6,), jnp.float32),  # td_ref (tol, div triples)
+                pltpu.SMEM((m1, m1), jnp.float32),
+                pltpu.SMEM((m1, m1), jnp.float32),
+                pltpu.SMEM((m1, m1), jnp.float32),
+            ],
+            interpret=(jax.default_backend().lower() not in ("tpu", "axon")),
+            compiler_params=(
+                pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+                if _HAS_PLTPU
+                else None
+            ),
+        )(
+            xh, xm, xl, bh, bm, bl, imask_a, bmask_a, fmask_a,
+            jnp.reshape(its, (1,)).astype(jnp.int32),
+            rtol3, atol3, dtol3,
+            jnp.asarray([max_it], jnp.int32),
+        )
+
+    return solve_call, geo
+
+
+def _split_f64_3(s):
+    """f64 scalar -> (3,) f32 words summing EXACTLY to it."""
+    s = jnp.asarray(s)
+    hi = s.astype(jnp.float32)
+    r = s - hi.astype(s.dtype)
+    mid = r.astype(jnp.float32)
+    lo = (r - mid.astype(s.dtype)).astype(jnp.float32)
+    return jnp.stack([hi, mid, lo])
+
+
+def fused_gmres_ef64(
+    op,
+    b_tf,
+    x0_tf,
+    rtol: float = 1.0e-5,
+    atol: float = 1.0e-50,
+    max_it: int = 10000,
+    restart: int = 30,
+    dtol: float = DEFAULT_DTOL,
+) -> KrylovResult:
+    """Whole-solve fused GMRES in ef64 (f64-FAITHFUL f32-triple
+    arithmetic) — the on-chip knife-edge parity mode.
+    ``ops/krylov.gmres_ef64`` is its XLA twin (true f64 on CPU); Mosaic
+    has no f64 and the axon XLA loop path carries ~1e-7 in-loop noise, so
+    faithful emulation in-kernel is the only deterministic route to
+    PETSc-exact counts on the chip. Inputs are stacked-(2, *grid) f32
+    triples summing exactly to the f64 inputs (``tf32.tf_from_f64``).
+    Unpreconditioned only."""
+    solve_call, geo = _build_cycle_ef64(op, int(restart))
+
+    packed = [geo.pack(c) for c in x0_tf] + [geo.pack(c) for c in b_tf]
+    rtol3 = _split_f64_3(jnp.asarray(rtol, jnp.float64))
+    atol3 = _split_f64_3(jnp.asarray(atol, jnp.float64))
+    dtol3 = _split_f64_3(jnp.asarray(dtol, jnp.float64))
+
+    xh2, xm2, xl2, j, its, rn, conv = solve_call(
+        *packed, jnp.asarray(0, jnp.int32), rtol3, atol3, dtol3, max_it
+    )
+    rnorm = (
+        rn[0].astype(jnp.float64)
+        + rn[1].astype(jnp.float64)
+        + rn[2].astype(jnp.float64)
+    )
+    x = (geo.unpack(xh2), geo.unpack(xm2), geo.unpack(xl2))
+    return KrylovResult(x, its[0], rnorm, conv[0] == 1)
 
 
 def _split_f64(s):

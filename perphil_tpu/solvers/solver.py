@@ -1069,54 +1069,74 @@ def _build_linear_solver_df(
     # as if they were the requested mode's)
     residual_df = _restart_residual_df(op)
 
-    # knife-edge mode (docs/design.md §7): tiny unpreconditioned systems run
-    # TRIPLE-float vectors (ops/tf32, ~71-bit) — near convergence the
-    # residual's relative error is amplified by ~1/rtol, and on systems this
-    # small kappa*eps_df*1e8 lands inside the convergence margin (measured:
-    # df32 drifts 2D N=8 to 41 vs PETSc's 40 and 3D nx=4 to 28 vs 27, with
-    # the f64 scalar chain ruled out). tf32 tracks exact arithmetic below
-    # PETSc's own f64 rounding; its ~2.5x op cost is invisible at these
-    # dispatch-bound sizes. Larger systems keep df32 (all counts exact).
+    # knife-edge ef64 mode (docs/design.md §7): tiny unpreconditioned
+    # systems run f64-FAITHFUL arithmetic. Measured landscape at the two
+    # knife-edge cells (2D N=8 / 3D nx=4; PETSc: 40/27): df32 42/28,
+    # tf32 (~71-bit) 38 — MORE precision undershoots because PETSc's own
+    # f64 rounding delays convergence in the stagnation tail — and only
+    # f64-grade per-op rounding lands the published counts (pinned by
+    # experiments/f64_structure_probe.py; order within the class is free).
+    # Larger systems keep df32 (all published counts exact there).
     import os as _os
 
-    # Backend gate: the XLA tf route needs deterministic EFT arithmetic.
-    # On the axon backend the XLA-level in-loop scalar path carries ~1e-7
-    # noise (CLAUDE.md "in-loop f64 reductions"), which corrupts the tf
-    # trajectory below the df one (measured on-chip: 2D N=8 lands 37, vs
-    # 41 df / 40 exact) — there the fused Pallas kernel (pure Mosaic f32,
-    # deterministic) carries the knife-edge tf mode instead.
-    tf_max = int(_os.environ.get("PERPHIL_TPU_TF32_MAX_DOF", "512"))
-    tf_xla_ok = (
+    ef64_max = int(
+        _os.environ.get(
+            "PERPHIL_TPU_EF64_MAX_DOF",
+            _os.environ.get("PERPHIL_TPU_TF32_MAX_DOF", "512"),
+        )
+    )
+    # CPU-class backends run true f64 (gmres_ef64); the axon backend runs
+    # the fused ef64 Pallas kernel (f32 triples + round-to-f64-grid per
+    # op) — XLA-level loops there carry ~1e-7 in-loop noise (CLAUDE.md)
+    # that corrupts ANY emulated trajectory, while Mosaic arithmetic is
+    # deterministic.
+    ef64_xla_ok = (
         jax.default_backend().lower() not in ("tpu", "axon")
-        or _os.environ.get("PERPHIL_TPU_TF32_FORCE_XLA", "0") == "1"
+        or _os.environ.get("PERPHIL_TPU_EF64_FORCE_XLA", "0") == "1"
+    )
+    # The fused ef64 kernel currently lands 39 (vs PETSc's 40) at the 2D
+    # N=8 cell in interpret mode — one structural difference from the
+    # validated XLA twin is still unidentified — so it stays opt-in until
+    # it reproduces the exact counts; axon falls back to the fused df
+    # kernel (41) meanwhile.
+    ef64_fused_ok = (
+        not ef64_xla_ok
+        and _os.environ.get("PERPHIL_TPU_EF64_FUSED", "0") == "1"
+        and fused_gmres_supported(op, "none")
     )
     if (
         pc_df is None
         and not with_guess
-        and tf_xla_ok
-        and int(op.W.dim()) <= tf_max
+        and (ef64_xla_ok or ef64_fused_ok)
+        and int(op.W.dim()) <= ef64_max
     ):
-        from perphil_tpu.ops.krylov import gmres_tf
+        from perphil_tpu.ops.krylov import gmres_ef64
+        from perphil_tpu.ops.pallas_gmres import fused_gmres_ef64
         from perphil_tpu.ops.tf32 import tf_from_f64, tf_to_f64
 
-        mv_tf = op.stacked_matvec_tf()
-
-        def solve_krylov_tf(g1, g2):
-            g1t, g2t = tf_from_f64(g1), tf_from_f64(g2)
-            b1, b2 = op.lifted_rhs_tf(g1t, g2t)
-            b = tuple(jnp.stack([a, c]) for a, c in zip(b1, b2))
-            x0 = tuple(
-                jnp.stack([jnp.where(bdry, a, 0.0), jnp.where(bdry, c, 0.0)])
-                for a, c in zip(g1t, g2t)
+        def solve_krylov_ef64(g1, g2):
+            b1, b2 = op.lifted_rhs(g1, g2)  # straight-line f64: exact-grade
+            b = jnp.stack([b1, b2])
+            x0 = jnp.stack(
+                [jnp.where(bdry, g1, 0.0), jnp.where(bdry, g2, 0.0)]
             )
-            res = gmres_tf(
-                mv_tf, b, x0_tf=x0, rtol=rtol, atol=atol, max_it=max_it,
-                restart=restart,
+            if ef64_xla_ok:
+                mv = op.stacked_matvec()
+
+                res = gmres_ef64(
+                    mv, b, x0=x0, rtol=rtol, atol=atol, max_it=max_it,
+                    restart=restart,
+                )
+                return res.x[0], res.x[1], res.iterations, res.residual_norm
+            # on-chip: inputs split EXACTLY to f64-grid triples
+            res = fused_gmres_ef64(
+                op, tf_from_f64(b), x0_tf=tf_from_f64(x0), rtol=rtol,
+                atol=atol, max_it=max_it, restart=restart,
             )
             x64 = tf_to_f64(res.x)
             return x64[0], x64[1], res.iterations, res.residual_norm
 
-        return _lifted_jit(solve_krylov_tf, *_example_grids(op, 2))
+        return _lifted_jit(solve_krylov_ef64, *_example_grids(op, 2))
 
     if (
         fused_pc is not None

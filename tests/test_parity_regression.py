@@ -96,25 +96,39 @@ def test_gmres_ilu_n64_exact_in_f64_parity_mode(monkeypatch):
     assert sol.iteration_number == 42
 
 
+def _force_df_mode(monkeypatch):
+    """Route solves through the df/TPU-production builder on CPU (the
+    native-f64 parity builder would otherwise serve them and prove nothing
+    about the production path)."""
+    monkeypatch.setenv("PERPHIL_TPU_KSP_DTYPE", "df32")
+    from perphil_tpu.solvers import solver as S
+
+    S._build_linear_solver.cache_clear()
+    S._build_tensor_linear_solver.cache_clear()
+
+
 @pytest.mark.parametrize("N,expected", [(4, 10), (8, 40)])
-def test_plain_gmres_knife_edge_exact_tf32(N, expected):
-    """Tiny unpreconditioned systems (<=512 DoF) route to the TRIPLE-float
-    Krylov mode (ops/tf32 + krylov.gmres_tf) whose trajectory rounds below
-    PETSc's own f64 — the 2D N=8 knife-edge cell must land PETSc's exact 40
-    (petsc_perf_breakdown.csv row N=8; the df32 trajectory drifts to 41)."""
+def test_plain_gmres_knife_edge_exact_ef64(monkeypatch, N, expected):
+    """Tiny unpreconditioned systems (<=512 DoF) on the df/production
+    builder route to the knife-edge ef64 mode (f64-FAITHFUL arithmetic;
+    here its XLA twin ``gmres_ef64``) — the 2D N=8 cell must land PETSc's
+    exact 40 (petsc_perf_breakdown.csv row N=8; measured: df32 drifts to
+    42 on this path and tf32 UNDERSHOOTS to 38 — docs/design.md §7)."""
+    _force_df_mode(monkeypatch)
     mesh, W, params, bcs, *_ = _setup(N)
     sol = solve_dpp(W, params, bcs, solver_parameters=sp.PLAIN_GMRES_PARAMS)
     assert sol.iteration_number == expected
 
 
 @pytest.mark.slow
-def test_plain_gmres_3d_knife_edge_exact_tf32():
-    """3D nx=4 plain GMRES: 27 exactly (petsc_perf_breakdown_3d.csv; the
-    df32 trajectory drifts to 28 — the last of the three round-4 drift
-    cells, docs/design.md §7)."""
+def test_plain_gmres_3d_knife_edge_exact_ef64(monkeypatch):
+    """3D nx=4 plain GMRES on the df/production builder: 27 exactly via
+    the ef64 knife-edge mode (petsc_perf_breakdown_3d.csv; df32 drifts to
+    28 — docs/design.md §7)."""
     from perphil_tpu.mesh import create_cube_mesh
     from perphil_tpu.utils.manufactured_solutions import exact_expressions_3d
 
+    _force_df_mode(monkeypatch)
     mesh = create_cube_mesh(4, 4, 4)
     _, V = create_function_spaces(mesh)
     W = mixed_space(V)
