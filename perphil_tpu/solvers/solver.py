@@ -1094,14 +1094,13 @@ def _build_linear_solver_df(
         jax.default_backend().lower() not in ("tpu", "axon")
         or _os.environ.get("PERPHIL_TPU_EF64_FORCE_XLA", "0") == "1"
     )
-    # The fused ef64 kernel currently lands 39 (vs PETSc's 40) at the 2D
-    # N=8 cell in interpret mode — one structural difference from the
-    # validated XLA twin is still unidentified — so it stays opt-in until
-    # it reproduces the exact counts; axon falls back to the fused df
-    # kernel (41) meanwhile.
+    # The fused ef64 kernel's pinned draw (matvec=diff + CGS2) lands the
+    # PETSc-exact counts at every cell it serves — 2D N=4 -> 10,
+    # N=8 -> 40, 3D nx=4 -> 27 (interpret-mode validation, bit-faithful
+    # to Mosaic; see _build_cycle_ef64's docstring).
     ef64_fused_ok = (
         not ef64_xla_ok
-        and _os.environ.get("PERPHIL_TPU_EF64_FUSED", "0") == "1"
+        and _os.environ.get("PERPHIL_TPU_EF64_FUSED", "1") == "1"
         and fused_gmres_supported(op, "none")
     )
     if (

@@ -355,3 +355,47 @@ def test_fused_gmres_supported_gating(monkeypatch):
     assert pallas_gmres.fused_gmres_supported(op)
     monkeypatch.setenv("PERPHIL_TPU_FUSED_GMRES", "0")
     assert not pallas_gmres.fused_gmres_supported(op)
+
+
+def test_fused_ef64_pinned_draw_n4_exact():
+    """The knife-edge ef64 kernel's pinned draw (matvec=diff + CGS2) must
+    land the PETSc-exact count at 2D N=4 (10 — convergence.csv row N=4).
+    The razor-edge N=8 (40) and 3D nx=4 (27) cells were pinned the same
+    way but take ~8 min each in interpret mode; they are covered by the
+    XLA twin's fast tests (test_parity_regression) and re-measured on
+    hardware in the production CSVs (_build_cycle_ef64 docstring)."""
+    from perphil_tpu.ops.krylov import gmres_ef64
+    from perphil_tpu.ops.pallas_gmres import fused_gmres_ef64
+    from perphil_tpu.ops.tf32 import tf_from_f64
+
+    op, _, _ = _setup(4)
+    mesh = op.mesh
+    # rebuild the f64 rhs/x0 exactly as the solver's ef64 route does
+    params = op.params
+    from perphil_tpu.utils.manufactured_solutions import exact_expressions
+
+    _, p1e, _, p2e = exact_expressions(mesh, params)
+    g1 = jnp.asarray(DirichletBC(op.W.sub(0), p1e).grid_values(mesh))
+    g2 = jnp.asarray(DirichletBC(op.W.sub(1), p2e).grid_values(mesh))
+    b1, b2 = op.lifted_rhs(g1, g2)
+    b = jnp.stack([b1, b2])
+    bdry = jnp.asarray(op._mask_arrays[0])
+    x0 = jnp.stack([jnp.where(bdry, g1, 0.0), jnp.where(bdry, g2, 0.0)])
+    kw = dict(rtol=1e-8, atol=1e-12, max_it=50000, restart=30)
+
+    ref = gmres_ef64(op.stacked_matvec(), b, x0=x0, **kw)
+    fus = (
+        jax.jit(
+            lambda: fused_gmres_ef64(
+                op, tf_from_f64(b), x0_tf=tf_from_f64(x0), **kw
+            )
+        )
+        .lower()
+        .compile(compiler_options=eft_safe_compiler_options())
+    )()
+    assert int(ref.iterations) == 10
+    assert int(fus.iterations) == 10
+    x64 = sum(c.astype(jnp.float64) for c in fus.x)
+    assert float(jnp.max(jnp.abs(x64 - ref.x))) <= 1e-7 * float(
+        jnp.max(jnp.abs(ref.x))
+    )
