@@ -9,10 +9,15 @@
 #
 # IMPORTANT: the committed CSVs were produced on a VIRTUAL device mesh
 # (`--xla_force_host_platform_device_count`, `platform=cpu` column) — all k
-# "devices" share one host core, so speedup/efficiency columns validate the
-# HARNESS and the sharded numerics (iteration counts must match the
-# single-device solve), NOT ICI scaling. On a real pod slice, run
-# `python -m perphil_tpu.experiments.scaling --platform default`.
+# "devices" share one host core, so wall-clock speedup/efficiency would be
+# physically meaningless and those columns are left EMPTY on virtual rows.
+# What IS valid on a virtual mesh (GSPMD partitions the same program as on
+# a pod slice): `halo_bytes_per_exchange` (per-device boundary-plane
+# traffic), `matvec_collectives` (collective ops counted from the compiled
+# sharded matvec HLO), and `iteration_parity` vs the single-device solve.
+# On a real pod slice, run
+# `python -m perphil_tpu.experiments.scaling --platform default` to
+# populate speedup/efficiency with chip measurements.
 
 # %%
 import os

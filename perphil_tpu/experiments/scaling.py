@@ -50,12 +50,29 @@ class ScalingRow:
     approach: str
     iterations: int
     time_s: float
-    speedup: float
-    efficiency: float
+    # speedup/efficiency are chip measurements: populated only on real
+    # device meshes. On a virtual mesh (k "devices" time-slicing one host)
+    # they are physically meaningless and left EMPTY — the valid
+    # virtual-mesh quantities are the halo/collective/parity columns below.
+    speedup: Any
+    efficiency: Any
     # device platform ("cpu" = virtual mesh: harness validation only — all
     # k devices share one host's cores, so efficiencies are NOT indicative
     # of ICI scaling; "tpu" = real chips)
     platform: str = "unknown"
+    # --- quantities that ARE physically meaningful on a virtual mesh ---
+    # (the sharding/collective STRUCTURE is identical to a real pod slice:
+    # GSPMD partitions the same program either way)
+    # bytes each interior device sends per halo exchange (both neighbor
+    # planes, both pressure fields, df32 storage)
+    halo_bytes_per_exchange: int = 0
+    # collective ops in the compiled sharded stacked-matvec program,
+    # counted from its post-GSPMD HLO: "cp"=collective-permute (halo),
+    # "ar"=all-reduce, "ag"=all-gather
+    matvec_collectives: str = ""
+    # iteration-count parity vs the single-device solve of the same system
+    its_single_device: int = -1
+    iteration_parity: bool = False
     # first-class provenance column: "virtual-mesh-validation" rows carry
     # physically meaningless efficiencies (time-sliced host cores) and must
     # never be quoted as chip measurements; "tpu-chained" = real devices
@@ -63,6 +80,44 @@ class ScalingRow:
 
     def to_dict(self) -> Dict[str, Any]:
         return dict(self.__dict__)
+
+
+def _halo_bytes(dof_shape, dmesh, bytes_per_elem: int = 8) -> int:
+    """Bytes an interior device sends per halo exchange: one boundary plane
+    per split mesh axis per direction, both fields, df32 (two-f32) words."""
+    import numpy as _np
+
+    total = 0
+    axes = dmesh.devices.shape
+    nplanes = 0
+    for ax, k in enumerate(axes):
+        if k > 1:
+            plane = int(_np.prod(dof_shape)) // int(dof_shape[ax])
+            total += 2 * plane  # two neighbor planes along this axis
+            nplanes += 1
+    return total * 2 * bytes_per_elem if nplanes else 0
+
+
+def _matvec_collectives(W, params, dmesh, padding) -> str:
+    """Count collective ops in the compiled sharded stacked-matvec HLO —
+    the measurable virtual-mesh twin of 'halo exchange over ICI'."""
+    import jax
+    import jax.numpy as jnp
+
+    from perphil_tpu.ops.assembly import DPPOperator
+    from perphil_tpu.parallel.sharding import shard_stacked
+
+    try:
+        op = DPPOperator(W, params, padding)
+        mv = op.stacked_matvec()
+        x = shard_stacked(jnp.zeros((2,) + op.grid_shape), dmesh)
+        txt = jax.jit(mv).lower(x).compile().as_text()
+        cp = txt.count("collective-permute")
+        ar = txt.count("all-reduce")
+        ag = txt.count("all-gather")
+        return f"cp={cp};ar={ar};ag={ag}"
+    except Exception as exc:  # diagnostics column must not kill the sweep
+        return f"unavailable({type(exc).__name__})"
 
 
 def _weak_size(base_n: int, k: int, dim: int) -> int:
@@ -125,9 +180,11 @@ def run_scaling(
         return mesh, W, bcs
 
     axis = ("z",) if dim == 3 else ("y",)
+    virtual = jax.devices()[0].platform == "cpu"
     rows: List[ScalingRow] = []
     for ap in approaches:
         sp_dict = params_for(ap)
+        single_its: Dict[int, int] = {}
         for mode in modes:
             t1: Optional[float] = None
             for k in device_counts:
@@ -135,6 +192,15 @@ def run_scaling(
                 mesh, W, bcs = _setup(N)
                 dmesh = device_mesh([k], axis_names=axis)
                 sol, dt = _solve_timed(W, params, bcs, dmesh, sp_dict, repeats)
+                if N not in single_its:
+                    if k == 1:
+                        single_its[N] = sol.iteration_number
+                    else:
+                        ref = _solve_timed(
+                            W, params, bcs, device_mesh([1], axis_names=axis),
+                            sp_dict, 1,
+                        )[0]
+                        single_its[N] = ref.iteration_number
                 if t1 is None:
                     t1 = dt
                     speedup, eff = 1.0, 1.0
@@ -144,6 +210,12 @@ def run_scaling(
                 else:
                     speedup = k * (t1 / dt)  # useful-work rate vs 1 device
                     eff = t1 / dt
+                from perphil_tpu.parallel.sharding import mesh_padding
+
+                dof_shape = W.spaces[0].dof_mesh.node_shape
+                padding = mesh_padding(dof_shape, dmesh)
+                if not any(padding):
+                    padding = ()
                 row = ScalingRow(
                     mode=mode,
                     devices=k,
@@ -153,19 +225,35 @@ def run_scaling(
                     approach=ap.value,
                     iterations=sol.iteration_number,
                     time_s=dt,
-                    speedup=speedup,
-                    efficiency=eff,
+                    speedup="" if virtual else speedup,
+                    efficiency="" if virtual else eff,
+                    halo_bytes_per_exchange=_halo_bytes(
+                        tuple(
+                            s + p
+                            for s, p in zip(
+                                dof_shape, padding or (0,) * len(dof_shape)
+                            )
+                        ),
+                        dmesh,
+                    ),
+                    matvec_collectives=_matvec_collectives(
+                        W, params, dmesh, padding
+                    ),
+                    its_single_device=single_its[N],
+                    iteration_parity=(
+                        sol.iteration_number == single_its[N]
+                    ),
                     platform=jax.devices()[0].platform,
                     measurement_class=(
-                        "virtual-mesh-validation"
-                        if jax.devices()[0].platform == "cpu"
-                        else "tpu-chained"
+                        "virtual-mesh-validation" if virtual else "tpu-chained"
                     ),
                 )
                 rows.append(row)
                 print(
                     f"[scaling] {ap.value} {mode} k={k} N={N}: "
-                    f"its={row.iterations} t={dt:.4g}s eff={eff:.2f}",
+                    f"its={row.iterations} (1-dev {single_its[N]}) "
+                    f"t={dt:.4g}s halo={row.halo_bytes_per_exchange}B "
+                    f"{row.matvec_collectives}",
                     flush=True,
                 )
     return rows

@@ -738,6 +738,89 @@ def _monolithic_direct(op: DPPOperator) -> Callable:
 
 
 @lru_cache(maxsize=16)
+def _build_band_parity_ilu_solver(
+    W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
+) -> Callable:
+    """ON-DEVICE ordering-parity GMRES+ILU(0): the dense-band block
+    trisolve (``ops/bandsolve.py``).
+
+    Same DoF numbering and factor values as the host path
+    (``_build_host_parity_ilu_solver``): cell-RCM parity permutation, FE
+    fill pattern, host-side IKJ ILU(0) (native C kernels). The SOLVES run
+    on the chip: the RCM band is covered with dense blocks whose inverses
+    are built on device (batched f32 triangular solve + Newton), so the
+    trisolve is a ``lax.scan`` of dense MXU matvecs — no unstructured
+    gathers. Outer Krylov is the production ``gmres_df``. Iteration-count
+    parity across apply precisions measured in
+    ``experiments/blockinv_precision_probe.py``: f32 blocks land the
+    published counts at nx<=36; nx=40 additionally needs the df
+    defect-correction pass (``PERPHIL_TPU_BAND_ILU_DF`` overrides the
+    size-based default).
+    """
+    import os as _os
+
+    from perphil_tpu.ops import ordering as od
+    from perphil_tpu.ops.bandsolve import build_band_parity_ilu
+    from perphil_tpu.ops.df32 import df_from_f64
+    from perphil_tpu.ops.ilu import build_monolithic_system
+    from perphil_tpu.ops.krylov import gmres_df
+
+    flat = dict(frozen_sp)
+    mesh = W.mesh
+    rtol = float(flat.get("ksp_rtol", 1e-5))
+    atol = float(flat.get("ksp_atol", 1e-50))
+    max_it = int(flat.get("ksp_max_it", 10000))
+    restart = int(flat.get("ksp_gmres_restart", 30))
+
+    op = DPPOperator(W, params)
+    sysm = build_monolithic_system(mesh, params)
+    A = od.to_csr(sysm)
+    nv = mesh.num_vertices
+    if mesh.is_tensor_product:
+        perm = np.arange(2 * nv)
+    else:
+        A = od.tighten_pattern(A, sysm, mesh, params)
+        perm = od.blocked(od.cell_rcm_parity(mesh))
+    Ap = A[perm][:, perm].tocsr()
+    Ap.sort_indices()
+    F, _ = od.native_ilu0(Ap)
+
+    # df defect correction DEFAULT-ON: a pure-f32 apply drifts counts at
+    # knife cells (CPU probe: +1 at nx=40; on-device, where couplings and
+    # the outer Krylov are df32 rather than the probe's f64, -1 at nx=16).
+    # The corrected apply landed every published count on hardware.
+    df_mode = _os.environ.get("PERPHIL_TPU_BAND_ILU_DF", "auto")
+    correct = df_mode != "0"
+    band = build_band_parity_ilu(
+        Ap, perm, nv, op.grid_shape, F, with_correction=correct
+    )
+
+    mv_df = op.stacked_matvec_df()
+    bdry = jnp.asarray(op._mask_arrays[0])
+
+    def solve_band(g1, g2):
+        g1d = df_from_f64(g1)
+        g2d = df_from_f64(g2)
+        b1, b2 = op.lifted_rhs_df(g1d, g2d)
+        b = (jnp.stack([b1[0], b2[0]]), jnp.stack([b1[1], b2[1]]))
+        x0h = jnp.stack(
+            [jnp.where(bdry, g1d[0], 0.0), jnp.where(bdry, g2d[0], 0.0)]
+        )
+        x0l = jnp.stack(
+            [jnp.where(bdry, g1d[1], 0.0), jnp.where(bdry, g2d[1], 0.0)]
+        )
+        res = gmres_df(
+            mv_df, b, x0_df=(x0h, x0l), rtol=rtol, atol=atol,
+            max_it=max_it, restart=restart, M_inv_df=band.apply_nat_df,
+        )
+        xh, xl = res.x
+        z1 = xh[0].astype(jnp.float64) + xl[0].astype(jnp.float64)
+        z2 = xh[1].astype(jnp.float64) + xl[1].astype(jnp.float64)
+        return z1, z2, res.iterations, res.residual_norm
+
+    return _lifted_jit(solve_band, *_example_grids(op, 2))
+
+
 def _build_host_parity_ilu_solver(
     W: MixedFunctionSpace, params: DPPParameters, frozen_sp: Tuple
 ) -> Callable:
@@ -865,9 +948,25 @@ def _build_linear_solver(
     ):
         if padding:
             raise ValueError(
-                "pc_factor_mat_ordering_type=rcm is a host parity path; "
-                "not available under sharding padding"
+                "pc_factor_mat_ordering_type=rcm is a dedicated parity "
+                "path; not available under sharding padding"
             )
+        # Execution engine: "auto" runs the dense-band device path on
+        # TPU-class backends (ops/bandsolve.py) and the host C++ CSR
+        # kernels elsewhere (XLA:CPU would both run the df machinery into
+        # its fusion-EFT hazard and gain nothing over native C).
+        import os as _os
+
+        mode = _os.environ.get("PERPHIL_TPU_BAND_ILU", "auto")
+        on_device = (
+            mode == "1"
+            or (
+                mode == "auto"
+                and jax.default_backend().lower() in ("tpu", "axon")
+            )
+        )
+        if on_device:
+            return _build_band_parity_ilu_solver(W, params, frozen_sp)
         return _build_host_parity_ilu_solver(W, params, frozen_sp)
 
     op = DPPOperator(W, params, padding)
