@@ -117,11 +117,18 @@ def _build_blocks_device(
     d_idx, d_vals, c_idx, c_vals, *, nb: int, B: int, lower: bool,
     unit: bool, newton: int = 2
 ):
-    """Scatter the CSR factor into dense blocks and invert the diagonal
-    blocks on device: batched f32 triangular solve + ``newton`` refinement
-    steps (X <- X(2I - D X), quadratic, so 1-2 steps reach the f32 rounding
-    floor regardless of the triangular-solve's internal blocking error).
-    Returns (X, G): X = inv(D_k), G = inv(D_k) @ C_k, both (nb, B, B) f32.
+    """Scatter the CSR factor into dense blocks, invert the diagonal blocks
+    on device (batched f32 triangular solve + ``newton`` refinement steps
+    ``X <- X(2I - D X)`` — quadratic, so 1-2 steps reach the f32 rounding
+    floor regardless of the triangular-solve's internal blocking error),
+    and PACK inverse + coupling into ONE (nb, B, B) array.
+
+    The supports are disjoint: with pad = B - bandwidth >= 1, a forward
+    coupling entry sits at local column c >= r + pad while the (strictly)
+    lower inverse sits at c <= r-1 (the unit diagonal is implied and
+    reconstructed in the apply); backward couplings sit at c <= r - pad
+    while the upper inverse (diagonal included) sits at c >= r. Packing
+    halves the HBM stream per trisolve — the dominant cost of the apply.
     """
     eye = jnp.eye(B, dtype=jnp.float32)
     D = (
@@ -148,29 +155,43 @@ def _build_blocks_device(
             "kij,kjl->kil", X, 2.0 * eye - jnp.einsum("kij,kjl->kil", D, X),
             precision=jax.lax.Precision.HIGHEST,
         )
-    G = jnp.einsum("kij,kjl->kil", X, C, precision=jax.lax.Precision.HIGHEST)
-    return X, G
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    xmask = (c_i < r_i) if lower else (c_i >= r_i)
+    return jnp.where(xmask, X, C)
 
 
-def tri_apply(X, G, r, lower: bool):
-    """Banded triangular solve via the dense block recurrence.
+def tri_apply(P, r, lower: bool, pad: int):
+    """Banded triangular solve via the packed dense block recurrence.
 
-    ``r``: (nb*B,) padded right-hand side. Forward (lower) or backward
-    recurrence as a ``lax.scan`` over blocks — in-program dependent trips
-    are nearly free on this backend; the cost is streaming X, G from HBM.
+    ``P``: (nb, B, B) packed [inverse | coupling] blocks (see
+    ``_build_blocks_device``); ``r``: (nb*B,) padded right-hand side;
+    ``pad``: B - bandwidth (support separator). A ``lax.scan`` over blocks
+    — in-program dependent trips are nearly free on this backend; the cost
+    is streaming P from HBM (each block is read once per trip and serves
+    both the coupling and the inverse matvec from VMEM).
     """
-    nb, B, _ = X.shape
+    nb, B, _ = P.shape
     rk = r.reshape(nb, B)
-
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    if lower:
+        xmask = c_i < r_i
+        cmask = c_i >= r_i + pad
+    else:
+        xmask = c_i >= r_i
+        cmask = c_i <= r_i - pad
     hi = jax.lax.Precision.HIGHEST  # f32 MXU passes (default would be bf16)
 
     def body(carry, inp):
-        Xk, Gk, rb = inp
-        y = jnp.dot(Xk, rb, precision=hi) - jnp.dot(Gk, carry, precision=hi)
+        Pk, rb = inp
+        u = rb - jnp.dot(jnp.where(cmask, Pk, 0.0), carry, precision=hi)
+        Xu = jnp.dot(jnp.where(xmask, Pk, 0.0), u, precision=hi)
+        y = u + Xu if lower else Xu  # unit diag implied for the L factors
         return y, y
 
     _, ys = jax.lax.scan(
-        body, jnp.zeros((B,), r.dtype), (X, G, rk), reverse=not lower
+        body, jnp.zeros((B,), r.dtype), (P, rk), reverse=not lower
     )
     return ys.reshape(-1)
 
@@ -277,17 +298,14 @@ class BandParityILU:
 
     nv: int
     B: int
+    pad: int  # B - bandwidth: the packed-support separator
     grid_shape: Tuple[int, ...]
     vperm: jnp.ndarray  # natural index of each permuted vertex (int32)
     ivperm: jnp.ndarray  # permuted index of each natural vertex (int32)
-    XL1: jnp.ndarray
-    GL1: jnp.ndarray
-    XL2: jnp.ndarray
-    GL2: jnp.ndarray
-    XU1: jnp.ndarray
-    GU1: jnp.ndarray
-    XU2: jnp.ndarray
-    GU2: jnp.ndarray
+    PL1: jnp.ndarray  # packed [strict-lower inverse | coupling] per factor
+    PL2: jnp.ndarray
+    PU1: jnp.ndarray
+    PU2: jnp.ndarray
     vals21: jnp.ndarray  # L21 natural varying stencil (3^d, *grid)
     vals12: jnp.ndarray  # U12 natural varying stencil
     # df natural stencils of the full factor (L11,L21,L22,U11,U12,U22),
@@ -299,25 +317,25 @@ class BandParityILU:
     def apply_nat(self, r1: jnp.ndarray, r2: jnp.ndarray):
         """z = P^T (U^-1 L^-1) P r for natural grid-shaped fields r1, r2."""
         nv, B = self.nv, self.B
-        pad = self.XL1.shape[0] * B - nv
+        tail = self.PL1.shape[0] * B - nv
 
         def to_p(u):  # natural grid -> permuted padded flat
-            return jnp.pad(u.ravel()[self.vperm], (0, pad))
+            return jnp.pad(u.ravel()[self.vperm], (0, tail))
 
         def to_n(yp):  # permuted padded flat -> natural grid
             return yp[:nv][self.ivperm].reshape(self.grid_shape)
 
         rp1 = to_p(r1)
-        y1 = tri_apply(self.XL1, self.GL1, rp1, lower=True)
+        y1 = tri_apply(self.PL1, rp1, lower=True, pad=self.pad)
         # r2' = r2 - L21 y1 (natural varying stencil, one gather each way)
         y1n = to_n(y1)
         rp2 = to_p(r2 - apply_varying_stencil(y1n, self.vals21))
-        y2 = tri_apply(self.XL2, self.GL2, rp2, lower=True)
-        x2 = tri_apply(self.XU2, self.GU2, y2, lower=False)
+        y2 = tri_apply(self.PL2, rp2, lower=True, pad=self.pad)
+        x2 = tri_apply(self.PU2, y2, lower=False, pad=self.pad)
         x2n = to_n(x2)
         # y1' = y1 - U12 x2
         yp1 = y1 - to_p(apply_varying_stencil(x2n, self.vals12))
-        x1 = tri_apply(self.XU1, self.GU1, yp1, lower=False)
+        x1 = tri_apply(self.PU1, yp1, lower=False, pad=self.pad)
         return to_n(x1), x2n
 
     def apply_nat_df(self, r_df):
@@ -392,10 +410,10 @@ def build_band_parity_ilu(
             nb=nb, B=B, lower=lower, unit=unit,
         )
 
-    XL1, GL1 = build(L11, True, True)
-    XL2, GL2 = build(L22, True, True)
-    XU1, GU1 = build(U11, False, False)
-    XU2, GU2 = build(U22, False, False)
+    PL1 = build(L11, True, True)
+    PL2 = build(L22, True, True)
+    PU1 = build(U11, False, False)
+    PU2 = build(U22, False, False)
 
     vperm = perm[:nv].astype(np.int32)  # blocked perm: field-1 rows first
     ivperm = np.empty_like(vperm)
@@ -404,10 +422,9 @@ def build_band_parity_ilu(
     vals12 = coupling_stencil_vals(U12, vperm.astype(np.int64), grid_shape)
 
     return BandParityILU(
-        nv=nv, B=B, grid_shape=grid_shape,
+        nv=nv, B=B, pad=B - bw, grid_shape=grid_shape,
         vperm=jnp.asarray(vperm), ivperm=jnp.asarray(ivperm),
-        XL1=XL1, GL1=GL1, XL2=XL2, GL2=GL2,
-        XU1=XU1, GU1=GU1, XU2=XU2, GU2=GU2,
+        PL1=PL1, PL2=PL2, PU1=PU1, PU2=PU2,
         vals21=jnp.asarray(vals21), vals12=jnp.asarray(vals12),
         nat_factors=(
             factor_nat_stencils(F, nv, vperm.astype(np.int64), grid_shape)

@@ -58,7 +58,7 @@ def test_tri_apply_matches_scipy_forward():
     N = _random_banded_unit_lower(n, bw)
     B = band_block_size(bw)
     d_idx, d_vals, c_idx, c_vals, nb = _block_coo(N, B, lower=True)
-    X, G = _build_blocks_device(
+    P = _build_blocks_device(
         jnp.asarray(d_idx), jnp.asarray(d_vals),
         jnp.asarray(c_idx), jnp.asarray(c_vals),
         nb=nb, B=B, lower=True, unit=True,
@@ -66,7 +66,9 @@ def test_tri_apply_matches_scipy_forward():
     r = np.random.default_rng(1).standard_normal(n)
     rp = np.zeros(nb * B)
     rp[:n] = r
-    y = np.asarray(tri_apply(X, G, jnp.asarray(rp, jnp.float32), lower=True))
+    y = np.asarray(
+        tri_apply(P, jnp.asarray(rp, jnp.float32), lower=True, pad=B - bw)
+    )
     ref = sp.linalg.spsolve_triangular(
         (N + sp.eye(n)).tocsr(), r, lower=True, unit_diagonal=True
     )
@@ -79,7 +81,7 @@ def test_tri_apply_matches_scipy_backward():
     U = (U + 2.0 * sp.eye(n)).tocsr()  # well-conditioned diagonal
     B = band_block_size(bw)
     d_idx, d_vals, c_idx, c_vals, nb = _block_coo(U, B, lower=False)
-    X, G = _build_blocks_device(
+    P = _build_blocks_device(
         jnp.asarray(d_idx), jnp.asarray(d_vals),
         jnp.asarray(c_idx), jnp.asarray(c_vals),
         nb=nb, B=B, lower=False, unit=False,
@@ -87,7 +89,9 @@ def test_tri_apply_matches_scipy_backward():
     r = np.random.default_rng(2).standard_normal(n)
     rp = np.zeros(nb * B)
     rp[:n] = r
-    y = np.asarray(tri_apply(X, G, jnp.asarray(rp, jnp.float32), lower=False))
+    y = np.asarray(
+        tri_apply(P, jnp.asarray(rp, jnp.float32), lower=False, pad=B - bw)
+    )
     ref = sp.linalg.spsolve_triangular(U, r, lower=False)
     assert np.abs(y[:n] - ref).max() / np.abs(ref).max() < 1e-5
 

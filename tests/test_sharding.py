@@ -266,7 +266,14 @@ def test_scaling_harness_smoke():
     assert [r.devices for r in rows] == [1, 4]
     its = {r.iterations for r in rows}
     assert len(its) == 1, f"iteration count must not depend on sharding: {its}"
-    assert rows[0].efficiency == 1.0 and rows[1].speedup > 0
+    # virtual mesh: speedup/efficiency are intentionally EMPTY (meaningless
+    # on time-sliced host cores); the valid columns are halo/collective/
+    # parity diagnostics
+    assert rows[0].efficiency == "" and rows[1].speedup == ""
+    assert rows[0].halo_bytes_per_exchange == 0  # single device: no halo
+    assert rows[1].halo_bytes_per_exchange > 0
+    assert rows[1].matvec_collectives.startswith("cp=")
+    assert all(r.iteration_parity for r in rows)
     out = tmp = None
     import tempfile
 
