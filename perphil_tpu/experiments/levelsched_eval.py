@@ -24,10 +24,14 @@ Findings (v5e, 2026-08-19, chained-marginal timing):
   unstructured gathers, so the sequential recurrence cannot move
   in-kernel where iterations would be free.
 
-Conclusion recorded in ``docs/design.md`` §6.2: the host-native CSR
-kernel layer IS the right execution engine for unstructured-order
-factorization/trisolves — the same division of labor as PETSc — and the
-rows stay labeled ``measurement_class=host-cpu``.
+Conclusion recorded in ``docs/design.md`` §6.2 (updated round 5): the
+GATHER-based on-device formulations lose, but the round-5 dense-band
+block trisolve (``ops/bandsolve.py``) — which trades gathers for
+dense-band MXU/VPU work — beats the reference at every published size
+and the host C++ kernels up to the measured crossover (nx~36-40, where
+the ~bandwidth/15 FLOP inflation of gather-free execution overtakes the
+chip's throughput advantage). Rows carry whichever engine measures
+faster, labeled by ``measurement_class``.
 
 Usage: python -m perphil_tpu.experiments.levelsched_eval [cpu|tpu] nx...
 """
