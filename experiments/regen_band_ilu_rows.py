@@ -46,6 +46,10 @@ def main() -> int:
     )
     import os
 
+    # force the band DEVICE engine at every size (this runner IS the
+    # device measurement tool; the sweep's own per-size policy would route
+    # nx<=16/40 to the host engine), with the validated df mode per size
+    os.environ["PERPHIL_TPU_BAND_ILU"] = "1"
     ok = True
     for nx in sizes:
         os.environ["PERPHIL_TPU_BAND_ILU_DF"] = (

@@ -71,7 +71,18 @@ def run_perf_once_3d(
     sp_dict = params_for(approach)
     if ordering_parity and approach == Approach.GMRES_ILU:
         sp_dict["pc_factor_mat_ordering_type"] = "rcm"
-        backend = "wall"  # host-native path: no device events to trace
+        # hardware-validated per-size engine policy (docs/design.md §6.2):
+        # the dense-band device engine (ops/bandsolve.py) wins at
+        # nx=20..36 with the pure-f32 apply (counts exact, correction
+        # unnecessary away from the knife cells); one host core wins at
+        # nx<=16 and nx=40, where gather-free execution's ~bandwidth/15
+        # FLOP inflation overtakes the chip's throughput advantage.
+        if nx in (20, 24, 32, 36):
+            sp_dict["pc_band_execution"] = "device"
+            sp_dict["pc_band_defect_correct"] = False
+        else:
+            sp_dict["pc_band_execution"] = "host"
+            backend = "wall"  # host-native path: no device events to trace
     g1, g2 = bc_values_per_field(W, bcs)
     op = DPPOperator(W, params)
 

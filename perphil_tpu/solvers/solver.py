@@ -789,8 +789,17 @@ def _build_band_parity_ilu_solver(
     # knife cells (CPU probe: +1 at nx=40; on-device, where couplings and
     # the outer Krylov are df32 rather than the probe's f64, -1 at nx=16).
     # The corrected apply landed every published count on hardware.
+    # Precedence mirrors the engine switch: forcing env ("0"/"1"), then
+    # the "pc_band_defect_correct" option (the profiling sweeps disable it
+    # at the hardware-validated non-knife sizes for ~2x apply speed), then
+    # the safe default (on).
     df_mode = _os.environ.get("PERPHIL_TPU_BAND_ILU_DF", "auto")
-    correct = df_mode != "0"
+    if df_mode in ("0", "1"):
+        correct = df_mode == "1"
+    elif "pc_band_defect_correct" in flat:
+        correct = bool(flat["pc_band_defect_correct"])
+    else:
+        correct = True
     band = build_band_parity_ilu(
         Ap, perm, nv, op.grid_shape, F, with_correction=correct
     )
@@ -951,20 +960,25 @@ def _build_linear_solver(
                 "pc_factor_mat_ordering_type=rcm is a dedicated parity "
                 "path; not available under sharding padding"
             )
-        # Execution engine: "auto" runs the dense-band device path on
-        # TPU-class backends (ops/bandsolve.py) and the host C++ CSR
-        # kernels elsewhere (XLA:CPU would both run the df machinery into
-        # its fusion-EFT hazard and gain nothing over native C).
+        # Execution engine selection, precedence: the PERPHIL_TPU_BAND_ILU
+        # env var when set to a non-auto value (forced experiments), then
+        # the "pc_band_execution" option ("device"/"host" — cache-safe:
+        # part of the frozen options key; the profiling sweeps pin the
+        # hardware-validated faster engine per size through it), then
+        # auto: the dense-band device path (ops/bandsolve.py) on TPU-class
+        # backends, the host C++ CSR kernels elsewhere (XLA:CPU would both
+        # run the df machinery into its fusion-EFT hazard and gain nothing
+        # over native C).
         import os as _os
 
         mode = _os.environ.get("PERPHIL_TPU_BAND_ILU", "auto")
-        on_device = (
-            mode == "1"
-            or (
-                mode == "auto"
-                and jax.default_backend().lower() in ("tpu", "axon")
-            )
-        )
+        opt = str(flat.get("pc_band_execution", ""))
+        if mode in ("0", "1"):
+            on_device = mode == "1"
+        elif opt in ("device", "host"):
+            on_device = opt == "device"
+        else:
+            on_device = jax.default_backend().lower() in ("tpu", "axon")
         if on_device:
             return _build_band_parity_ilu_solver(W, params, frozen_sp)
         return _build_host_parity_ilu_solver(W, params, frozen_sp)

@@ -183,3 +183,42 @@ def test_block_coo_rejects_wide_band():
     N = _random_banded_unit_lower(600, 300)
     with pytest.raises(ValueError):
         _block_coo(N, 256, lower=True)
+
+
+def test_engine_option_routing(monkeypatch):
+    """pc_band_execution selects the engine (cache-safe: part of the
+    frozen options key); the forcing env, when set non-auto, wins."""
+    from perphil_tpu.forms.spaces import create_function_spaces, mixed_space
+    from perphil_tpu.mesh.structured import create_cube_mesh
+    from perphil_tpu.models.dpp.parameters import DPPParameters
+    from perphil_tpu.solvers.solver import _build_linear_solver, _freeze
+
+    monkeypatch.delenv("PERPHIL_TPU_BAND_ILU", raising=False)
+    mesh = create_cube_mesh(4, 4, 4, hexahedral=False)
+    _, V = create_function_spaces(mesh)
+    W = mixed_space(V)
+    params = DPPParameters()
+    base = {
+        "ksp_type": "gmres",
+        "pc_type": "ilu",
+        "pc_factor_mat_ordering_type": "rcm",
+        "ksp_rtol": 1e-8,
+        "ksp_atol": 1e-12,
+    }
+    host = _build_linear_solver(
+        W, params, _freeze({**base, "pc_band_execution": "host"})
+    )
+    assert getattr(host, "_host_only", False)
+    dev = _build_linear_solver(
+        W, params,
+        _freeze({**base, "pc_band_execution": "device",
+                 "pc_band_defect_correct": False}),
+    )
+    assert not getattr(dev, "_host_only", False)
+    # forcing env beats the option
+    monkeypatch.setenv("PERPHIL_TPU_BAND_ILU", "0")
+    forced = _build_linear_solver(
+        W, params,
+        _freeze({**base, "pc_band_execution": "device", "_cachebust": 1}),
+    )
+    assert getattr(forced, "_host_only", False)
