@@ -133,9 +133,30 @@ def main() -> None:
         ("apply_corrected", apply_corrected, (rstk, zstk)),
         ("outer_matvec_df", outer_matvec, (rstk, zstk)),
     ]
+    # the stage fns close over the packed block arrays (GBs at nx=40):
+    # plain jit would inline them into the HLO constant pool and trip the
+    # relay's payload limit (HTTP 413) — lift them to runtime args exactly
+    # like the production solver does
+    from perphil_tpu.solvers.solver import _lifted_jit
+    from perphil_tpu.utils.marginal import keepalive_feedback
+
+    def lifted_chain_maker(fn, example):
+        def make(length):
+            def chain(*a):
+                def body(carry, _):
+                    out = fn(*carry)
+                    return keepalive_feedback(out, carry), None
+
+                final, _ = jax.lax.scan(body, a, None, length=length)
+                return jnp.sum(jax.tree_util.tree_leaves(final)[0])
+
+            return _lifted_jit(chain, *example)
+
+        return make
+
     rows = []
     for name, fn, a in stages:
-        t = chained_marginal(fn_chain_maker(fn), a, 10)
+        t = chained_marginal(lifted_chain_maker(fn, a), a, 10)
         rows.append({"nx": nx, "stage": name, "seconds": t})
         print(f"{name:18s} {t*1e3:9.4f} ms", flush=True)
 
